@@ -1,0 +1,53 @@
+"""Triple-set evaluation: precision / recall / F1 vs gold (SURVEY.md A16).
+
+The reference's evaluator computed per-label P/R/F1 on held-out annotated
+documents (SURVEY.md §2C step 7, [R-MEM]); lifted here to set-based P/R over
+emitted (subj, pred, obj, conv_id, turn_idx) triples against planted gold
+(BASELINE.json: P/R >= 0.95).
+
+Pure semi/anti joins + counts — one pass each, no collect of data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+def evaluate_triples(pred: DataFrame, gold: DataFrame,
+                     keys: list[str] | None = None) -> dict[str, float]:
+    keys = keys or KEY
+    p = pred.select(*keys).dropDuplicates()
+    g = gold.select(*keys).dropDuplicates()
+    tp = p.join(g, keys, "left_semi").count()
+    fp = p.join(g, keys, "left_anti").count()
+    fn = g.join(p, keys, "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def per_predicate_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-predicate P/R as a DataFrame (mirrors the reference's per-label
+    report)."""
+    p = pred.select(*KEY).dropDuplicates().withColumn("in_pred", F.lit(1))
+    g = gold.select(*KEY).dropDuplicates().withColumn("in_gold", F.lit(1))
+    full = p.join(g, KEY, "full")
+    return (
+        full.groupBy("pred")
+        .agg(
+            F.sum(F.when(F.col("in_pred").isNotNull()
+                         & F.col("in_gold").isNotNull(), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("in_pred").isNotNull()
+                         & F.col("in_gold").isNull(), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("in_pred").isNull()
+                         & F.col("in_gold").isNotNull(), 1).otherwise(0)).alias("fn"),
+        )
+        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn("recall", F.col("tp") / (F.col("tp") + F.col("fn")))
+    )

@@ -1,0 +1,32 @@
+"""Mention extraction: explode span arrays into one row per mention
+(SURVEY.md A6). Pure built-in functions — explode + sha2 id."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_mentions(labeled: DataFrame, keep_text: bool = True) -> DataFrame:
+    """labeled transcripts (with ``spans`` col) -> mentions table.
+
+    ``mention_id = sha2(conv_id|turn_idx|start|end)`` — deterministic,
+    independent of partitioning / row order (BASELINE.json per-row invariant:
+    nothing may derive from task order).
+    """
+    cols = [
+        "conv_id",
+        "turn_idx",
+        F.sha2(
+            F.concat_ws("|", "conv_id", "turn_idx", "sp.start", "sp.end"), 256
+        ).alias("mention_id"),
+        F.col("sp.start").alias("span_start"),
+        F.col("sp.end").alias("span_end"),
+        F.expr("substring(text, sp.start + 1, sp.end - sp.start)").alias("surface"),
+        F.col("sp.ent_type").alias("ent_type"),
+        F.col("sp.score").alias("score"),
+    ]
+    if keep_text:
+        cols.append("text")
+    return labeled.select("conv_id", "turn_idx", "text",
+                          F.explode("spans").alias("sp")).select(*cols)

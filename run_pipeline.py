@@ -1,0 +1,57 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Usage (local sandbox):
+    python run_pipeline.py --input <fixture_dir> --output <graph_dir> \
+        [--master local[8]] [--window 3] [--eval]
+
+Production shape (BASELINE.json): spark-submit --py-files kgpipe.zip
+run_pipeline.py --input <iceberg transcripts table> --output <graph table>.
+The same DataFrame code runs unchanged on a multi-executor cluster; only
+--master and the storage format flip (sources/storage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="fixture dir with transcripts.parquet + candidate_dict.parquet")
+    ap.add_argument("--output", required=True, help="output dir for the triples table")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--window", type=int, default=3, help="turn-window size for cross-turn relations")
+    ap.add_argument("--cc-algo", default="two_phase", choices=["two_phase", "minprop"])
+    ap.add_argument("--eval", action="store_true",
+                    help="evaluate P/R vs gold_triples.parquet in the input dir")
+    args = ap.parse_args(argv)
+
+    from kgpipe.operators.evaluate import evaluate_triples
+    from kgpipe.pipeline import run_from_dir
+    from kgpipe.session import get_spark
+    from kgpipe.sources.storage import write_triples
+
+    spark = get_spark("kgpipe-run", master=args.master)
+    t0 = time.time()
+    out = run_from_dir(spark, args.input, window=args.window)
+    n = write_triples(out["triples"], args.output)
+    wall = time.time() - t0
+    report = {"triples": n, "wall_sec": round(wall, 2),
+              "triples_per_sec": round(n / wall, 1), "output": args.output}
+    if args.eval:
+        if "gold" not in out:
+            print("--eval requested but no gold_triples.parquet in input dir",
+                  file=sys.stderr)
+            return 2
+        triples = spark.read.parquet(args.output)
+        report["metrics"] = evaluate_triples(triples, out["gold"])
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
