@@ -323,7 +323,7 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
     """
     n_convs, avg_turns = SCALES[scale]
     key = json.dumps({"scale": scale, "n": n_convs, "t": avg_turns,
-                      "seed": seed, "v": 3})
+                      "seed": seed, "v": 4})
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
     out = os.path.join(base_dir, f"{scale}-{tag}")
     marker = os.path.join(out, "_DONE")
@@ -333,7 +333,10 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
     tables = generate(n_convs=n_convs, seed=seed, avg_turns=avg_turns,
                       hot_frac=0.3 if scale == "unit" else 0.05)
     for name, df in tables.items():
-        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False)
+        # microsecond timestamps: Spark's vectorized parquet reader rejects
+        # TIMESTAMP(NANOS) columns
+        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False,
+                      coerce_timestamps="us", allow_truncated_timestamps=True)
     with open(marker, "w") as f:
         f.write(tag)
     return out

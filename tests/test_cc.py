@@ -1,0 +1,48 @@
+"""Connected components on known graphs (SURVEY.md §5.2): chain, star,
+two components, self-loop — both algorithms must agree with ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.operators.canon import connected_components
+
+GRAPHS = {
+    "chain": ([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+              {"b": "a", "c": "a", "d": "a", "e": "a"}),
+    "star": ([("hub", "s1"), ("hub", "s2"), ("hub", "s3")],
+             {"s1": "hub", "s2": "hub", "s3": "hub"}),
+    "two_components": ([("a", "b"), ("x", "y"), ("y", "z")],
+                       {"b": "a", "y": "x", "z": "x"}),
+    "self_loop": ([("a", "a"), ("a", "b")], {"b": "a"}),
+    "triangle_plus_edge": ([("m", "n"), ("n", "o"), ("m", "o"), ("o", "p")],
+                           {"n": "m", "o": "m", "p": "m"}),
+}
+
+
+@pytest.mark.parametrize("algo", ["two_phase", "minprop"])
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_cc(spark, algo, name):
+    edges, want = GRAPHS[name]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(df, algo=algo).collect()
+    }
+    assert got == want, f"{algo}/{name}: {got} != {want}"
+
+
+@pytest.mark.parametrize("algo", ["two_phase", "minprop"])
+def test_cc_empty(spark, algo):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(df, algo=algo).count() == 0
+
+
+def test_cc_long_chain_converges(spark):
+    """two-phase must converge on a 40-node chain within the iteration cap
+    (the O(log n) property it exists for)."""
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = list(zip(nodes, nodes[1:]))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = connected_components(df, algo="two_phase", max_iter=15)
+    assert got.filter(F.col("canonical_id") != "n000").count() == 0
+    assert got.count() == 39

@@ -1,0 +1,93 @@
+"""End-to-end pipeline gates (SURVEY.md §5.2):
+
+* triple P/R >= 0.95 vs planted gold (BASELINE.json acceptance bar)
+* per-row invariant: per-turn text equality under stable (conv_id, turn_idx)
+  ordering between input and every stage output that carries text
+* determinism: permuted input rows + different partition count -> identical
+  triples
+"""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.operators.evaluate import evaluate_triples, per_predicate_eval
+from kgpipe.pipeline import read_transcripts, run_from_dir
+
+
+@pytest.fixture(scope="module")
+def result(spark, unit_fixture_dir):
+    out = run_from_dir(spark, unit_fixture_dir)
+    out["triples"] = out["triples"].cache()
+    return out
+
+
+def test_pr_gate(result):
+    m = evaluate_triples(result["triples"], result["gold"])
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_per_predicate_eval(result):
+    rows = per_predicate_eval(result["triples"], result["gold"]).collect()
+    assert {r["pred"] for r in rows} == {"works_at", "released", "met", "located_in"}
+    for r in rows:
+        assert r["precision"] >= 0.95 and r["recall"] >= 0.95, r
+
+
+def test_per_turn_text_invariant(spark, result, unit_fixture_dir):
+    """Stage outputs that carry text must preserve it per (conv_id, turn_idx)."""
+    src = read_transcripts(
+        spark, f"{unit_fixture_dir}/transcripts.parquet"
+    ).select("conv_id", "turn_idx", "text")
+    staged = result["labeled"].select("conv_id", "turn_idx", "text")
+    diff = src.exceptAll(staged).count() + staged.exceptAll(src).count()
+    assert diff == 0
+
+
+def test_mention_surfaces_substring_of_text(result):
+    bad = result["mentions"].filter(
+        F.expr("substring(text, span_start + 1, span_end - span_start) != surface")
+    ).count()
+    assert bad == 0
+
+
+def test_determinism_under_permutation_and_partitioning(spark, unit_fixture_dir):
+    import pandas as pd
+
+    from kgpipe.pipeline import run_pipeline
+
+    tr = spark.read.parquet(f"{unit_fixture_dir}/transcripts.parquet")
+    cd = pd.read_parquet(f"{unit_fixture_dir}/candidate_dict.parquet")
+
+    def fingerprint(df):
+        r = df.agg(
+            F.expr("bit_xor(xxhash64(subj, pred, obj, conv_id, turn_idx))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    base = fingerprint(run_pipeline(spark, tr, cd)["triples"])
+    # permute row order and change the partition count
+    shuffled = tr.orderBy(F.xxhash64("text", "ts")).repartition(17)
+    perm = fingerprint(run_pipeline(spark, shuffled, cd)["triples"])
+    assert base == perm
+
+
+def test_variant_ids_canonicalized(result):
+    """No ~v1 variant ids may survive canonicalization."""
+    n = result["triples"].filter(
+        F.col("subj").contains("~") | F.col("obj").contains("~")
+    ).count()
+    assert n == 0
+
+
+def test_skew_hot_conversation_present(spark, unit_fixture_dir):
+    """Unit fixture plants one hot conversation with ~30% of turns; the
+    pipeline must still be exact there (covered by P/R) — assert the skew
+    actually exists so the gate is meaningful."""
+    tr = spark.read.parquet(f"{unit_fixture_dir}/transcripts.parquet")
+    counts = tr.groupBy("conv_id").count().orderBy(F.desc("count")).collect()
+    total = sum(r["count"] for r in counts)
+    assert counts[0]["count"] / total > 0.2
