@@ -1,0 +1,24 @@
+"""Driver-verified operator surface (SURVEY.md §2B + training-data ops).
+
+Each named query is a pair: a Spark DataFrame builder and (where SQL can
+express it) an equivalent ANSI-SQL oracle string for DuckDB. The driver runs
+both at sf0.01 and compares row count + schema + order-insensitive value
+hash, so:
+
+* every computed column is aliased identically on both sides
+* float outputs are rounded (4-6 dp) on both sides
+* sums of integers are cast to BIGINT on both sides (DuckDB sums to HUGEINT)
+* timestamps in outputs are converted to epoch seconds or date strings
+  (DuckDB timestamps come back tz-aware; Spark's are session-TZ naive)
+"""
+
+from __future__ import annotations
+
+from kgpipe.queries.registry import ORACLES, QUERIES, register  # noqa: F401
+
+# importing the modules populates the registry
+from kgpipe.queries import relational  # noqa: E402,F401
+from kgpipe.queries import analytics  # noqa: E402,F401
+from kgpipe.queries import textops  # noqa: E402,F401
+from kgpipe.queries import vectorops  # noqa: E402,F401
+from kgpipe.queries import kg  # noqa: E402,F401

@@ -1,0 +1,82 @@
+"""KG-pipeline queries for the driver surface (rows-only checks: the full
+extraction pipeline — Viterbi labeling, linking, canonicalization — is not
+SQL-expressible; its correctness gate is the planted-gold P/R pytest suite
+plus these deterministic row-level outputs).
+
+The transcripts fixture is generated deterministically per scale and cached;
+``sf_dir`` maps onto the matching fixture scale so the driver's sf0.01 run
+uses the sf0.01-sized corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgpipe.fixtures.generator import materialize
+from kgpipe.queries.registry import register
+
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scale_for(sf_dir: str) -> str:
+    for s in ("sf0.001", "sf0.01", "sf0.1"):
+        if s in sf_dir:
+            return s
+    return "unit"
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), _scale_for(sf_dir))
+    if key not in _CACHE:
+        from kgpipe.pipeline import run_from_dir
+
+        fixture = materialize(_scale_for(sf_dir))
+        out = run_from_dir(spark, fixture)
+        _CACHE[key] = out["triples"].cache()
+        _CACHE[(id(spark), _scale_for(sf_dir), "gold")] = out["gold"]
+        _CACHE[(id(spark), _scale_for(sf_dir), "mentions")] = out["mentions"]
+    return _CACHE[key]
+
+
+@register("kg_triples")
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx")
+
+
+@register("kg_top_predicates")
+def kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _triples(spark, sf_dir)
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+    )
+
+
+@register("kg_mentions_by_class")
+def kg_mentions_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _triples(spark, sf_dir)  # ensure cache populated
+    m = _CACHE[(id(spark), _scale_for(sf_dir), "mentions")]
+    return m.groupBy("ent_type").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("surface").alias("n_surfaces"),
+    )
+
+
+@register("kg_eval_metrics")
+def kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgpipe.operators.evaluate import evaluate_triples
+
+    t = _triples(spark, sf_dir)
+    g = _CACHE[(id(spark), _scale_for(sf_dir), "gold")]
+    m = evaluate_triples(t, g)
+    return spark.createDataFrame(
+        [(m["tp"], m["fp"], m["fn"],
+          round(m["precision"], 6), round(m["recall"], 6))],
+        "tp long, fp long, fn long, precision double, recall double",
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+* ``cosine_topk_bruteforce`` — the exact baseline: broadcast the (small)
+  query set against all vectors, dot products via higher-order functions
+  (zip_with + aggregate) — JVM-side, whole-stage-codegen'd, no Python.
+* ``ann_lsh_topk`` — the scale path: sign-LSH bucket from fixed dimensions
+  (a deterministic random-hyperplane surrogate), equi-join on bucket, rank
+  within bucket. At 100 TB the bucket join replaces the O(N*Q) cross
+  product with O(N) bucketing + per-bucket candidates.
+* ``embedding_norm_stats`` — array-function surface over vectors.
+
+Floats: cosine is rounded to 6 dp on BOTH engines before ranking, and ties
+break on vec_id, so rank sets match despite summation-order ULP noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgpipe.queries.registry import load, register
+
+N_QUERY = 10  # vec_id < 10 are the query vectors
+TOP_K = 3
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           CAST(min(len(embedding)) AS INT) AS min_dim,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS avg_l2_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_l2_norm"),
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Dot product with explicit per-element DOUBLE casts (DuckDB's
+    list_dot_product would accumulate float32 on FLOAT lists; Spark
+    accumulates double — must match)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    )
+
+
+_COS_SQL = f"""
+    round({_dot_sql("q", "v")}
+          / (sqrt({_dot_sql("q", "q")}) * sqrt({_dot_sql("v", "v")})), 6)
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             {_COS_SQL} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, v.vec_id ASC) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
+      JOIN embeddings v ON v.vec_id != q.vec_id) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    v = e.select("vec_id", "embedding")
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+        6,
+    )
+    j = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+# sign-LSH bucket: parity pattern of 8 fixed, spread dimensions
+_LSH_DIMS = [1, 9, 17, 25, 33, 41, 49, 57]  # 1-indexed
+
+
+def _bucket_spark(emb: Column) -> Column:
+    bucket = F.lit(0)
+    for i, d in enumerate(_LSH_DIMS):
+        bucket = bucket + F.when(
+            F.element_at(emb, d) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _bucket_sql(alias: str) -> str:
+    parts = [
+        f"(CASE WHEN {alias}.embedding[{d}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(_LSH_DIMS)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             {_COS_SQL} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, v.vec_id ASC) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
+      JOIN embeddings v
+        ON {_bucket_sql("q")} = {_bucket_sql("v")} AND v.vec_id != q.vec_id) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_spark(F.col("embedding"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    v = e.select("vec_id", "embedding", "bucket")
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+        6,
+    )
+    j = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
