@@ -1,0 +1,93 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "triples_per_sec": N, ...}
+
+The headline number for the north rule (triples/sec) is the ``kg_pipeline``
+entry: the full KG-construction pipeline (CRF-style labeling -> linking ->
+turn-window triple extraction -> similarity-join + connected-components
+canonicalization) on the transcripts fixture at the matching scale, timed
+end-to-end from cold input to materialized triples.
+
+Scaling-efficiency evidence (N -> 4N cores, BASELINE.json north_rule) needs
+two separate JVMs, so it lives in ``bench_scaling.py``; its latest result is
+inlined here from ``.bench/scaling.json`` when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    for part in sf_dir.replace("\\", "/").split("/"):
+        if part.startswith("sf"):
+            try:
+                return float(part[2:])
+            except ValueError:
+                pass
+    return 0.1
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.pipeline import run_from_dir
+    from kgpipe.queries import QUERIES
+    from kgpipe.session import get_spark
+
+    spark = get_spark("kgpipe-bench")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    # --- headline: end-to-end KG pipeline, cold, at the matching scale ----
+    scale = f"sf{sf}" if f"sf{sf}" in ("sf0.001", "sf0.01", "sf0.1") else "sf0.1"
+    fixture = materialize(scale)
+    n_turns = spark.read.parquet(
+        os.path.join(fixture, "transcripts.parquet")).count()
+    t0 = time.time()
+    out = run_from_dir(spark, fixture)
+    n_triples = out["triples"].count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    extras["triples"] = n_triples
+    extras["turns"] = n_turns
+    extras["triples_per_sec"] = round(n_triples / kg_sec, 1)
+    extras["turns_per_sec"] = round(n_turns / kg_sec, 1)
+
+    # --- full operator surface at sf_dir ---------------------------------
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            extras.setdefault("errors", {})[name] = repr(e)[:200]  # type: ignore[union-attr]
+
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extras["scaling"] = json.load(f)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    line = {"metric": "total_bench_sec", "value": total, "unit": "sec",
+            "queries": timings, "sf": sf, **extras}
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
