@@ -62,6 +62,62 @@ def run_pipeline(
     }
 
 
+def run_pipeline_checkpointed(
+    spark: SparkSession,
+    fixture_dir: str,
+    run_dir: str,
+    window: int = 3,
+    n_buckets: int = 32,
+    cc_algo: str = "two_phase",
+) -> dict[str, object]:
+    """A14 resumable run: three conv_id-bucketed stages with per-bucket
+    lineage manifests (operators/checkpoint.py). Re-invoking with the same
+    ``run_dir`` + unchanged input skips every completed bucket; a run
+    interrupted mid-stage resumes from the last durably-committed bucket.
+
+    Stage fingerprints chain (fp_{k+1} = h(fp_k, params)): the pipeline is
+    deterministic, so a stage's output is fully determined by its input
+    fingerprint — no re-stat of intermediate files needed, and any change
+    to the source input invalidates every downstream stage transitively.
+    """
+    import hashlib
+
+    from kgpipe.operators.checkpoint import CheckpointedRun
+
+    from kgpipe.operators.checkpoint import input_fingerprint
+
+    tpath = os.path.join(fixture_dir, "transcripts.parquet")
+    dpath = os.path.join(fixture_dir, "candidate_dict.parquet")
+    transcripts = read_transcripts(spark, tpath)
+    candidate_dict = pd.read_parquet(dpath)
+    dict_df = dict_to_df(spark, candidate_dict)
+
+    fp1 = input_fingerprint([tpath, dpath], {"stage": "linked", "v": 1})
+    fp2 = hashlib.sha256(f"{fp1}|raw_triples|w={window}|v=1".encode()).hexdigest()[:16]
+    fp3 = hashlib.sha256(f"{fp2}|triples|cc={cc_algo}|v=1".encode()).hexdigest()[:16]
+
+    run = CheckpointedRun(spark, run_dir)
+
+    s1 = run.stage(
+        "linked", transcripts,
+        lambda df: link_entities(
+            extract_mentions(label_transcripts(spark, df, candidate_dict)),
+            dict_df, k=1),
+        n_buckets=n_buckets, fingerprint=fp1)
+    s2 = run.stage(
+        "raw_triples", s1.df,
+        lambda df: extract_triples(spark, df, window=window),
+        n_buckets=n_buckets, fingerprint=fp2)
+    canon_map = build_canon_map(dict_df, algo=cc_algo)
+    s3 = run.stage(
+        "triples", s2.df,
+        lambda df: canonicalize(df, canon_map),
+        n_buckets=n_buckets, fingerprint=fp3)
+    run.write_metrics()
+    return {"triples": s3.df, "linked": s1.df, "raw_triples": s2.df,
+            "metrics": run.metrics, "run": run}
+
+
 def run_from_dir(spark: SparkSession, fixture_dir: str,
                  window: int = 3) -> dict[str, DataFrame]:
     """Run the pipeline over a fixture directory (transcripts.parquet +

@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cc-algo", default="two_phase", choices=["two_phase", "minprop"])
     ap.add_argument("--eval", action="store_true",
                     help="evaluate P/R vs gold_triples.parquet in the input dir")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="A14 resumable mode: per-bucket lineage manifests under "
+                         "this dir; re-running with the same dir resumes from "
+                         "the last committed bucket")
     args = ap.parse_args(argv)
 
     from kgpipe.operators.evaluate import evaluate_triples
@@ -37,11 +41,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("kgpipe-run", master=args.master)
     t0 = time.time()
-    out = run_from_dir(spark, args.input, window=args.window)
+    if args.checkpoint_dir:
+        from kgpipe.pipeline import run_pipeline_checkpointed
+
+        out = run_pipeline_checkpointed(
+            spark, args.input, args.checkpoint_dir, window=args.window,
+            cc_algo=args.cc_algo)
+        import os as _os
+        gold_path = _os.path.join(args.input, "gold_triples.parquet")
+        if _os.path.exists(gold_path):
+            out["gold"] = spark.read.parquet(gold_path)
+    else:
+        out = run_from_dir(spark, args.input, window=args.window)
     n = write_triples(out["triples"], args.output)
     wall = time.time() - t0
     report = {"triples": n, "wall_sec": round(wall, 2),
               "triples_per_sec": round(n / wall, 1), "output": args.output}
+    if args.checkpoint_dir:
+        report["stage_metrics"] = out["metrics"]
     if args.eval:
         if "gold" not in out:
             print("--eval requested but no gold_triples.parquet in input dir",

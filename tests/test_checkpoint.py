@@ -1,0 +1,102 @@
+"""A14 resumability gates (SURVEY.md §5.2): interrupted + resumed run must
+equal the uninterrupted run, completed buckets must be skipped on resume,
+and a changed input must invalidate stale checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kgpipe.fixtures.generator import materialize
+from kgpipe.pipeline import run_from_dir, run_pipeline_checkpointed
+
+
+def _triple_set(df):
+    return {tuple(r) for r in
+            df.select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    return materialize("unit")
+
+
+@pytest.fixture(scope="module")
+def plain_triples(spark, fixture_dir):
+    return _triple_set(run_from_dir(spark, fixture_dir)["triples"])
+
+
+def test_checkpointed_equals_plain(spark, fixture_dir, plain_triples, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("ckpt-full"))
+    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    assert _triple_set(out["triples"]) == plain_triples
+    # lineage manifests exist per stage with per-bucket rows
+    for stage in ("linked", "raw_triples", "triples"):
+        mpath = os.path.join(run_dir, stage, "manifest.jsonl")
+        rows = [json.loads(line) for line in open(mpath)]
+        assert {r["bucket"] for r in rows} == set(range(32))
+        assert all(r["status"] == "done" and "rows_out" in r for r in rows)
+    assert os.path.exists(os.path.join(run_dir, "metrics.json"))
+
+
+def test_resume_skips_completed_buckets(spark, fixture_dir, plain_triples, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("ckpt-resume"))
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    out2 = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    for stage, m in out2["metrics"].items():
+        assert m["buckets_computed"] == 0, (stage, m)
+        assert m["rows_computed"] == 0, (stage, m)
+    assert _triple_set(out2["triples"]) == plain_triples
+
+
+def test_crash_mid_stage_resumes_only_missing(spark, fixture_dir, plain_triples,
+                                              tmp_path_factory):
+    """Simulate a crash after some buckets of stage 1 committed: drop the
+    last 10 manifest rows (data dirs stay on disk, as after a real kill).
+    Resume must recompute exactly those buckets and produce equal triples."""
+    run_dir = str(tmp_path_factory.mktemp("ckpt-crash"))
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+
+    mpath = os.path.join(run_dir, "linked", "manifest.jsonl")
+    rows = [json.loads(line) for line in open(mpath)]
+    dropped = {r["bucket"] for r in rows[-10:]}
+    with open(mpath, "w") as f:
+        for r in rows[:-10]:
+            f.write(json.dumps(r) + "\n")
+    # downstream stages also "not yet run" in the crash scenario
+    import shutil
+    shutil.rmtree(os.path.join(run_dir, "raw_triples"))
+    shutil.rmtree(os.path.join(run_dir, "triples"))
+
+    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    m = out["metrics"]["linked"]
+    assert m["buckets_computed"] == len(dropped)
+    assert m["buckets_skipped"] == 32 - len(dropped)
+    assert _triple_set(out["triples"]) == plain_triples
+
+
+def test_changed_input_invalidates(spark, fixture_dir, tmp_path_factory, tmp_path):
+    """A different input under the same run_dir must not reuse stale
+    buckets (fingerprint mismatch wipes the stage)."""
+    import shutil
+
+    run_dir = str(tmp_path_factory.mktemp("ckpt-inval"))
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+
+    # shrink the input: copy fixture, truncate transcripts to 40 convs
+    alt = tmp_path / "alt_fixture"
+    shutil.copytree(fixture_dir, alt)
+    import pandas as pd
+    t = pd.read_parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    keep = sorted(t["conv_id"].unique())[:5]
+    t[t["conv_id"].isin(keep)].to_parquet(
+        os.path.join(alt, "transcripts.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out = run_pipeline_checkpointed(spark, str(alt), run_dir)
+    got = out["triples"].select("conv_id").distinct().collect()
+    assert {r.conv_id for r in got} <= set(keep)
+    m = out["metrics"]["linked"]
+    assert m["buckets_computed"] == 32  # full invalidation, nothing stale
