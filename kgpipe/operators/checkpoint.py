@@ -179,7 +179,13 @@ class CheckpointedRun:
             out = fn(bucketed.drop(BUCKET_COL) if n_buckets == 1 else bucketed)
             if BUCKET_COL not in out.columns:
                 out = out.withColumn(BUCKET_COL, _bucket_expr(key_col, n_buckets))
-            (out.write.mode("overwrite")
+            # align tasks with output partitions: without this every task
+            # writes a sliver into every bucket dir (n_tasks × n_buckets
+            # tiny files); with it each bucket is one file written by one
+            # task — same property Iceberg gets from a bucket-transform
+            # write distribution.
+            (out.repartition(len(todo), F.col(BUCKET_COL))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(BUCKET_COL)
                 .parquet(data_dir))
