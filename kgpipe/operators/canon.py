@@ -186,3 +186,83 @@ def canonicalize(raw_triples: DataFrame, canon_map: DataFrame) -> DataFrame:
         )
     )
     return t.dropDuplicates(["subj", "pred", "obj", "conv_id", "turn_idx"])
+
+
+# --------------------------------------------------------------------------
+# driver-side fast path for broadcast-sized dictionaries
+
+
+def _lev(a: str, b: str, cap: int) -> int:
+    """Plain Levenshtein (matches Spark's F.levenshtein), early-exit > cap."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def build_canon_map_local(candidate_dict, max_lev: int = 2):
+    """Same (entity_id, canonical_id) mapping as build_canon_map, computed
+    driver-side in pandas + union-find.
+
+    The candidate dictionary is broadcast-sized BY CONSTRUCTION (it ships to
+    every labeler worker), so the canon map derived from it never needs a
+    cluster: blocked pairwise Levenshtein over a few thousand surfaces is
+    microseconds-to-milliseconds, versus seconds of driver-loop latency for
+    the iterative DataFrame CC. The distributed path (build_canon_map)
+    remains the correct tool when canonicalizing an OPEN entity set (e.g.
+    clustering emergent entities mined from the corpus itself) and is kept
+    tested against this one (tests/test_cc.py::test_local_equals_distributed).
+
+    Returns a pandas DataFrame (entity_id, canonical_id), non-roots only.
+    """
+    import pandas as pd
+
+    df = candidate_dict[["entity_id", "alias", "prior", "ent_class"]].copy()
+    # per entity: best surface = max by (prior, alias) — sort ascending and
+    # take the last row per entity (same as Spark's max_by(struct(...)))
+    cls_first = df.groupby("entity_id", sort=False)["ent_class"].first()
+    df = df.sort_values(["prior", "alias"], kind="mergesort")
+    best = (df.groupby("entity_id", sort=False).last().reset_index()
+            [["entity_id", "alias"]].rename(columns={"alias": "surface"}))
+    best["ent_class"] = best["entity_id"].map(cls_first)
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    best["block"] = best["surface"].str.split(" ").str[0]
+    for (_, _), grp in best.groupby(["ent_class", "block"], sort=False):
+        rows = sorted(zip(grp["entity_id"], grp["surface"]))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ei, si = rows[i]
+                ej, sj = rows[j]
+                if abs(len(si) - len(sj)) <= max_lev and \
+                        _lev(si, sj, max_lev) <= max_lev:
+                    union(ei, ej)
+
+    out = [(e, find(e)) for e in best["entity_id"] if find(e) != e]
+    return pd.DataFrame(out, columns=["entity_id", "canonical_id"])

@@ -56,18 +56,47 @@ def build_transitions() -> np.ndarray:
     return t
 
 
-def build_gazetteer(candidate_dict: pd.DataFrame) -> dict[int, dict[str, int]]:
-    """normalized alias (by token length) -> entity-class index.
+_FNV = np.uint64(1099511628211)
 
-    Keyed by n-gram length so batch matching does one hash map per length.
+
+def _fold_hashes(tok_h: np.ndarray, ln: int, limit: int) -> np.ndarray:
+    """Combined hash of every ``ln``-gram window: h = ((h0*P)+h1)*P+... —
+    pure uint64 vector ops, wraparound multiply, zero string allocation."""
+    with np.errstate(over="ignore"):
+        h = tok_h[:limit].copy()
+        for k in range(1, ln):
+            h = h * _FNV + tok_h[k:limit + k]
+    return h
+
+
+def build_gazetteer(candidate_dict: pd.DataFrame) -> dict[int, tuple]:
+    """normalized alias (by token length) -> (sorted uint64 hash keys,
+    aligned class indices).
+
+    Aliases are hashed with the SAME token-hash + fold the batch matcher
+    uses (pd.util.hash_array is keyed siphash — deterministic across
+    processes), so matching is binary search over an int array instead of
+    an object-string hash map. Hash collisions can only ADD a spurious
+    candidate span; the downstream linker join re-checks the surface
+    against the real alias, so precision is unaffected (and at 2^64 the
+    collision odds are negligible anyway).
     """
     cls_idx = {c: i for i, c in enumerate(ENT_CLASSES)}
-    gaz: dict[int, dict[str, int]] = {}
+    by_len: dict[int, list[tuple[int, int]]] = {}
     for alias, cls in zip(candidate_dict["alias"], candidate_dict["ent_class"]):
         toks = alias.split()
         if not toks or len(toks) > MAX_ALIAS_TOKENS:
             continue
-        gaz.setdefault(len(toks), {})[" ".join(toks)] = cls_idx[cls]
+        th = pd.util.hash_array(np.array(toks, dtype=object))
+        h = _fold_hashes(th, len(toks), 1)[0]
+        by_len.setdefault(len(toks), []).append((int(h), cls_idx[cls]))
+    gaz: dict[int, tuple] = {}
+    for ln, pairs in by_len.items():
+        dedup = dict(pairs)  # duplicate alias: last class wins (dict parity)
+        keys = np.fromiter(dedup.keys(), dtype=np.uint64, count=len(dedup))
+        vals = np.fromiter(dedup.values(), dtype=np.int8, count=len(dedup))
+        order = np.argsort(keys)
+        gaz[ln] = (keys[order], vals[order])
     return gaz
 
 
@@ -81,45 +110,45 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
     if n_tok == 0:
         return pd.Series([empty] * n_rows, index=texts.index)
 
-    norm = pd.Series(toks, dtype="object").str.lower()
-    norm_np = norm.to_numpy()
+    tok_series = pd.Series(toks, dtype="object")
+    norm_np = tok_series.str.lower().to_numpy()
+    # one keyed-siphash pass over the batch tokens; every n-gram compare
+    # after this is pure uint64 arithmetic (memory-light — the previous
+    # np.char string-concat matcher saturated memory bandwidth with 32
+    # concurrent workers and flattened core-count scaling)
+    tok_h = pd.util.hash_array(norm_np)
 
     # --- emissions ---------------------------------------------------------
     em = np.zeros((n_tok, N_TAGS), dtype=np.float32)
     em[:, _O] = W_O
 
     # shape features: capitalized token -> weak prior on all B-*
-    first_char = pd.Series(toks, dtype="object").str[:1]
+    first_char = tok_series.str[:1]
     is_cap = first_char.str.isupper().fillna(False).to_numpy(dtype=bool)
     for c in ENT_CLASSES:
         em[is_cap, _B[c]] += W_SHAPE
 
-    # gazetteer n-gram features, one vectorized map per n-gram length
-    for ln, amap in gaz.items():
-        if ln == 1:
-            ng = norm
-            valid = np.ones(n_tok, dtype=bool)
-        else:
-            if n_tok < ln:
-                continue
-            parts = [norm_np[i:n_tok - ln + 1 + i] for i in range(ln)]
-            joined = parts[0].copy()
-            for p in parts[1:]:
-                joined = np.char.add(np.char.add(joined.astype(str), " "),
-                                     p.astype(str))
-            ng = pd.Series(joined)
-            # n-gram must not cross a row boundary
-            valid = row_id[: n_tok - ln + 1] == row_id[ln - 1:]
-        hit = ng.map(amap)
-        hit_pos = np.flatnonzero(hit.notna().to_numpy() & valid)
+    # gazetteer n-gram features: fold window hashes, binary-search the
+    # sorted alias-hash table — no string allocation, no object hash map
+    b_tag_of_cls = np.array([_B[c] for c in ENT_CLASSES], dtype=np.int64)
+    i_tag_of_cls = np.array([_I[c] for c in ENT_CLASSES], dtype=np.int64)
+    for ln, (keys, vals) in gaz.items():
+        limit = n_tok - ln + 1
+        if limit <= 0:
+            continue
+        h = _fold_hashes(tok_h, ln, limit)
+        pos = np.searchsorted(keys, h)
+        pos_c = np.minimum(pos, keys.size - 1)
+        found = keys[pos_c] == h
+        if ln > 1:
+            found &= row_id[:limit] == row_id[ln - 1:]  # no row crossing
+        hit_pos = np.flatnonzero(found)
         if hit_pos.size == 0:
             continue
-        hit_cls = hit.to_numpy()[hit_pos].astype(np.int64)
-        b_tags = np.asarray([_B[ENT_CLASSES[c]] for c in hit_cls])
-        np.add.at(em, (hit_pos, b_tags), W_GAZ)
+        hit_cls = vals[pos_c[hit_pos]].astype(np.int64)
+        np.add.at(em, (hit_pos, b_tag_of_cls[hit_cls]), W_GAZ)
         for off in range(1, ln):
-            i_tags = np.asarray([_I[ENT_CLASSES[c]] for c in hit_cls])
-            np.add.at(em, (hit_pos + off, i_tags), W_GAZ)
+            np.add.at(em, (hit_pos + off, i_tag_of_cls[hit_cls]), W_GAZ)
 
     # --- pad to (R, L, T) and Viterbi over the batch dimension -------------
     lmax = int(row_lengths.max())
@@ -154,33 +183,42 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
         tags_pad[:, t - 1] = np.take_along_axis(
             back[:, t, :], tags_pad[:, t, None].astype(np.int64), axis=1)[:, 0]
 
-    # --- contiguous B/I runs -> char spans ---------------------------------
-    out: list[list[tuple]] = []
-    starts = starts.astype(np.int64)
-    ends = ends.astype(np.int64)
-    for r in range(n_rows):
-        n = int(row_lengths[r])
-        if n == 0:
-            out.append(empty)
-            continue
-        tags_r = tags_pad[r, :n]
-        off = int(row_start[r])
-        spans: list[tuple] = []
-        i = 0
-        while i < n:
-            tg = int(tags_r[i])
-            if tg != _O and (tg - 1) % 2 == 0:  # B-*
-                cls = ENT_CLASSES[(tg - 1) // 2]
-                j = i + 1
-                while j < n and int(tags_r[j]) == tg + 1:
-                    j += 1
-                spans.append((int(starts[off + i]), int(ends[off + j - 1]),
-                              cls, 1.0))
-                i = j
-            else:
-                i += 1
-        out.append(spans)
-    return pd.Series(out, index=texts.index)
+    # --- contiguous B/I runs -> char spans, vectorized ---------------------
+    # BIO transitions guarantee: I-c only follows B-c/I-c and never starts a
+    # row, so every span is exactly a B token plus its following same-class
+    # I run. Find B positions and run ends with array ops; Python touches
+    # only the per-span tuples (≈1-2 per turn, not per token).
+    flat = tags_pad[row_id, pos_in_row].astype(np.int64)  # (n_tok,)
+    is_b = flat % 2 == 1  # B tags sit at odd indices
+    is_i = (flat > 0) & ~is_b
+    b_pos = np.flatnonzero(is_b)
+    out_lists: list[list[tuple]] = [[] for _ in range(n_rows)]
+    if b_pos.size:
+        # end of each span: last index of the consecutive-I run after its B
+        idx = np.arange(n_tok)
+        last_non_i = np.maximum.accumulate(np.where(~is_i, idx, -1))
+        run_start = last_non_i + 1  # first index of the I-run containing idx
+        # for a B at p, its run is the I-run starting at p+1 (if any)
+        nxt = b_pos + 1
+        has_run = (nxt < n_tok) & is_i[np.minimum(nxt, n_tok - 1)]
+        # run end = largest j >= nxt with run_start[j] == nxt
+        # compute per-run ends: an I at j is a run end if j+1>=n or ~is_i[j+1]
+        i_end = np.flatnonzero(is_i & np.r_[~is_i[1:], True])
+        # map each B's run start to its run end via searchsorted on run ends
+        end_idx = b_pos.copy()
+        if i_end.size:
+            cand = np.searchsorted(i_end, nxt)
+            cand_c = np.minimum(cand, i_end.size - 1)
+            ok = has_run & (run_start[np.minimum(i_end[cand_c], n_tok - 1)] == nxt)
+            end_idx = np.where(ok, i_end[cand_c], b_pos)
+        cls_i = (flat[b_pos] - 1) // 2
+        s_char = starts[b_pos].astype(np.int64)
+        e_char = ends[end_idx].astype(np.int64)
+        rows_of = row_id[b_pos]
+        for r, s, e, c in zip(rows_of.tolist(), s_char.tolist(),
+                              e_char.tolist(), cls_i.tolist()):
+            out_lists[r].append((s, e, ENT_CLASSES[c], 1.0))
+    return pd.Series(out_lists, index=texts.index)
 
 
 def make_labeler_udf(spark: SparkSession, candidate_dict: pd.DataFrame):

@@ -27,12 +27,17 @@ def dict_to_df(spark: SparkSession, candidate_dict: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(candidate_dict, schema=CANDIDATE_DICT)
 
 
-def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1) -> DataFrame:
+def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1,
+                  ranked: bool = True) -> DataFrame:
     """mentions -> links: one row per (mention, candidate) with rank <= k.
 
     Inner join: mentions whose surface is not a known alias are dropped here
     (they carry no linkable entity). Class must agree between the labeler's
     span type and the dictionary entry.
+
+    ``ranked=False`` skips the top-k ranking window (for streaming inputs,
+    where ranking windows are unsupported — the caller must pass a
+    dictionary already deduped to one candidate per (alias, class)).
     """
     cand = dict_df.select(
         F.col("alias"),
@@ -49,6 +54,8 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1) -> DataFr
     )
     # exact alias match -> string-sim 1.0; link score = prior * 1.0
     j = j.withColumn("link_score", F.col("prior"))
+    if not ranked:
+        return j.withColumn("rank", F.lit(1)).drop("alias", "ent_class", "prior")
     w = Window.partitionBy("mention_id").orderBy(
         F.col("link_score").desc(), F.col("entity_id").asc()
     )

@@ -37,6 +37,24 @@ def salt(df: DataFrame, n_salts: int = 8) -> DataFrame:
     )
 
 
+# above this many dictionary rows the canon map is built with the
+# distributed similarity-join + CC path; below it, driver-side (the dict is
+# broadcast-sized by construction, so the iterative DataFrame CC would pay
+# seconds of driver-loop job latency to compute milliseconds of work)
+LOCAL_CANON_MAX_DICT = 200_000
+
+
+def canon_map_for(spark: SparkSession, candidate_dict: pd.DataFrame,
+                  dict_df: DataFrame, cc_algo: str = "two_phase") -> DataFrame:
+    from kgpipe.operators.canon import build_canon_map, build_canon_map_local
+
+    if len(candidate_dict) > LOCAL_CANON_MAX_DICT:
+        return build_canon_map(dict_df, algo=cc_algo)
+    pdf = build_canon_map_local(candidate_dict)
+    return spark.createDataFrame(
+        pdf, schema="entity_id string, canonical_id string")
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -60,7 +78,7 @@ def run_pipeline(
         StorageLevel.MEMORY_AND_DISK)
     raw_triples = extract_triples(spark, linked, window=window).persist(
         StorageLevel.MEMORY_AND_DISK)
-    canon_map = build_canon_map(dict_df, algo=cc_algo)
+    canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     triples = canonicalize(raw_triples, canon_map)
     return {
         "labeled": labeled,
@@ -118,7 +136,7 @@ def run_pipeline_checkpointed(
         "raw_triples", s1.df,
         lambda df: extract_triples(spark, df, window=window),
         n_buckets=n_buckets, fingerprint=fp2)
-    canon_map = build_canon_map(dict_df, algo=cc_algo)
+    canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     s3 = run.stage(
         "triples", s2.df,
         lambda df: canonicalize(df, canon_map),

@@ -1,0 +1,9 @@
+from kgpipe.streaming.ops import (  # noqa: F401
+    incremental_triples,
+    read_events_stream,
+    read_transcripts_stream,
+    session_counts_stream,
+    sliding_counts_stream,
+    stream_dedup,
+    tumbling_counts_stream,
+)

@@ -46,3 +46,21 @@ def test_cc_long_chain_converges(spark):
     got = connected_components(df, algo="two_phase", max_iter=15)
     assert got.filter(F.col("canonical_id") != "n000").count() == 0
     assert got.count() == 39
+
+
+def test_local_equals_distributed(spark):
+    """Driver-side canon map (pandas union-find) must equal the distributed
+    similarity-join + CC path on the fixture dictionary."""
+    import pandas as pd
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.operators.canon import build_canon_map, build_canon_map_local
+    from kgpipe.operators.linker import dict_to_df
+
+    fx = materialize("unit")
+    cd = pd.read_parquet(fx + "/candidate_dict.parquet")
+    dist = {(r.entity_id, r.canonical_id)
+            for r in build_canon_map(dict_to_df(spark, cd)).collect()}
+    local = set(map(tuple, build_canon_map_local(cd).itertuples(index=False)))
+    assert local == dist
+    assert local, "fixture must exercise at least one merged variant"

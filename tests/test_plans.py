@@ -1,0 +1,72 @@
+"""Physical-plan shape gates: the properties that matter at 100 TB are
+asserted, not eyeballed — filters reach the parquet scan, projections prune
+the read schema, the dictionary join broadcasts, the fact-fact join does
+NOT broadcast-nested-loop, and Python appears only as Arrow-vectorized
+eval (SURVEY.md §4.1/§4.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from kgpipe.queries.relational import scan_filter_project
+
+    p = _plan(scan_filter_project(spark, SF))
+    assert "PushedFilters: [" in p and "IsNotNull" in p, p
+    # projection pruned to the columns the query touches
+    scan = p[p.index("ReadSchema"):].splitlines()[0]
+    assert "l_comment" not in scan, scan
+
+
+def test_dimension_join_broadcasts(spark):
+    from kgpipe.queries.relational import join_broadcast_dims
+
+    p = _plan(join_broadcast_dims(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_fact_fact_join_is_not_bnlj(spark):
+    from kgpipe.queries.relational import join_orders_lineitem_revenue
+
+    p = _plan(join_orders_lineitem_revenue(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p), p
+
+
+def test_linker_join_broadcasts_and_labeler_is_arrow(spark):
+    import pandas as pd
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.operators.labeler import label_transcripts
+    from kgpipe.operators.linker import dict_to_df, link_entities
+    from kgpipe.operators.mentions import extract_mentions
+    from kgpipe.pipeline import read_transcripts
+    import os
+
+    fx = materialize("unit")
+    t = read_transcripts(spark, os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+    linked = link_entities(
+        extract_mentions(label_transcripts(spark, t, cd)),
+        dict_to_df(spark, cd), k=1)
+    p = _plan(linked)
+    assert "BroadcastHashJoin" in p, p
+    # vectorized Arrow eval, never row-at-a-time Python
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    from kgpipe.queries.relational import agg_pricing_summary
+
+    p = _plan(agg_pricing_summary(spark, SF), "simple")
+    assert "WholeStageCodegen" in p, p
