@@ -29,12 +29,13 @@ _SINK_N = [0]
 def _run_stream(q_df, tmp, mode="append"):
     _SINK_N[0] += 1
     name = f"sink{_SINK_N[0]}"
+    spark = q_df.sparkSession
     q = (q_df.writeStream.format("memory").queryName(name)
          .outputMode(mode)
          .option("checkpointLocation", os.path.join(tmp, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return q.sparkSession.sql(f"select * from {name}")
+    return spark.sql(f"select * from {name}")
 
 
 @pytest.fixture()
@@ -98,13 +99,19 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             os.path.join(d, name), index=False, coerce_timestamps="us",
             allow_truncated_timestamps=True)
 
-    # batch 1: events at t=0m and t=120m -> watermark advances to 110m
+    import time
+
+    # batch 0: events at t=0m and t=120m -> watermark becomes 110m
     mk([(1, base, 1, "click", 1.0, "{}"),
         (2, base + pd.Timedelta(minutes=120), 1, "click", 1.0, "{}")], "a.parquet")
-    import time
-    time.sleep(1.1)  # file-source ordering is by modification time
+    time.sleep(1.2)  # file-source ordering is by modification time
+    # batch 1: advances event time further; the 00:00 window is evicted here.
+    # (the watermark computed from batch N applies to batch N+1's input, so
+    # the late row must arrive one batch AFTER the eviction batch)
+    mk([(4, base + pd.Timedelta(minutes=125), 1, "click", 1.0, "{}")], "b.parquet")
+    time.sleep(1.2)
     # batch 2: late event at t=5m — inside the 00:00 window, behind watermark
-    mk([(3, base + pd.Timedelta(minutes=5), 1, "click", 100.0, "{}")], "b.parquet")
+    mk([(3, base + pd.Timedelta(minutes=5), 1, "click", 100.0, "{}")], "c.parquet")
 
     got = _run_stream(
         tumbling_counts_stream(read_events_stream(spark, d),
