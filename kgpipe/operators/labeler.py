@@ -100,15 +100,21 @@ def build_gazetteer(candidate_dict: pd.DataFrame) -> dict[int, tuple]:
     return gaz
 
 
-def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
-                trans: np.ndarray) -> pd.Series:
-    """Batch body: text -> list[(start, end, ent_type, score)] per row."""
+def _label_core(texts: pd.Series, gaz: dict[int, dict[str, int]],
+                trans: np.ndarray):
+    """Batch body: text -> flat span arrays (rows_of, start, end, cls_idx).
+
+    Rows without a single gazetteer hit are provably all-O (the shape prior
+    W_SHAPE < the O baseline W_O, so only gazetteer emissions can open a
+    span) — they skip the Viterbi DP entirely; the padded tensors cover
+    only hit-bearing rows.
+    """
     toks, starts, ends, row_id, row_lengths = tokenize_batch(texts)
     n_tok = len(toks)
     n_rows = len(texts)
-    empty: list[tuple] = []
+    nothing = (np.empty(0, np.int64),) * 4
     if n_tok == 0:
-        return pd.Series([empty] * n_rows, index=texts.index)
+        return nothing + (n_rows,)
 
     tok_series = pd.Series(toks, dtype="object")
     norm_np = tok_series.str.lower().to_numpy()
@@ -132,6 +138,7 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
     # sorted alias-hash table — no string allocation, no object hash map
     b_tag_of_cls = np.array([_B[c] for c in ENT_CLASSES], dtype=np.int64)
     i_tag_of_cls = np.array([_I[c] for c in ENT_CLASSES], dtype=np.int64)
+    row_has_hit = np.zeros(n_rows, dtype=bool)
     for ln, (keys, vals) in gaz.items():
         limit = n_tok - ln + 1
         if limit <= 0:
@@ -145,18 +152,32 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
         hit_pos = np.flatnonzero(found)
         if hit_pos.size == 0:
             continue
+        row_has_hit[row_id[hit_pos]] = True
         hit_cls = vals[pos_c[hit_pos]].astype(np.int64)
         np.add.at(em, (hit_pos, b_tag_of_cls[hit_cls]), W_GAZ)
         for off in range(1, ln):
             np.add.at(em, (hit_pos + off, i_tag_of_cls[hit_cls]), W_GAZ)
 
-    # --- pad to (R, L, T) and Viterbi over the batch dimension -------------
+    if not row_has_hit.any():
+        return (np.empty(0, np.int64),) * 4 + (n_rows,)
+
+    # --- subset to hit-bearing rows, pad to (R, L, T), batch Viterbi -------
+    sel = np.flatnonzero(row_has_hit)
+    tok_mask = row_has_hit[row_id]
+    em = em[tok_mask]
+    starts = np.asarray(starts)[tok_mask]
+    ends = np.asarray(ends)[tok_mask]
+    row_id = np.searchsorted(sel, row_id[tok_mask])  # compact row ids
+    row_lengths = row_lengths[sel]
+    n_tok = int(tok_mask.sum())
+    n_rows_sub = sel.size
+
     lmax = int(row_lengths.max())
-    row_start = np.zeros(n_rows, np.int64)
+    row_start = np.zeros(n_rows_sub, np.int64)
     np.cumsum(row_lengths[:-1], out=row_start[1:])
     pos_in_row = np.arange(n_tok) - row_start[row_id]
 
-    em_pad = np.full((n_rows, lmax, N_TAGS), NEG, dtype=np.float32)
+    em_pad = np.full((n_rows_sub, lmax, N_TAGS), NEG, dtype=np.float32)
     em_pad[row_id, pos_in_row] = em
     # padding steps: force O at zero cost so they never affect real scores
     pad_mask = np.arange(lmax)[None, :] >= row_lengths[:, None]
@@ -168,7 +189,7 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
         start_pen[_I[c]] = NEG
 
     score = em_pad[:, 0, :] + start_pen[None, :]
-    back = np.zeros((n_rows, lmax, N_TAGS), dtype=np.int8)
+    back = np.zeros((n_rows_sub, lmax, N_TAGS), dtype=np.int8)
     for t in range(1, lmax):
         # (R, T_prev, 1) + (T_prev, T_cur) -> best prev per cur
         cand = score[:, :, None] + trans[None, :, :]
@@ -177,7 +198,7 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
         score = score + em_pad[:, t, :]
         back[:, t, :] = best_prev
 
-    tags_pad = np.zeros((n_rows, lmax), dtype=np.int8)
+    tags_pad = np.zeros((n_rows_sub, lmax), dtype=np.int8)
     tags_pad[:, lmax - 1] = score.argmax(axis=1)
     for t in range(lmax - 1, 0, -1):
         tags_pad[:, t - 1] = np.take_along_axis(
@@ -192,40 +213,73 @@ def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
     is_b = flat % 2 == 1  # B tags sit at odd indices
     is_i = (flat > 0) & ~is_b
     b_pos = np.flatnonzero(is_b)
+    if not b_pos.size:
+        return (np.empty(0, np.int64),) * 4 + (n_rows,)
+    # end of each span: last index of the consecutive-I run after its B
+    idx = np.arange(n_tok)
+    last_non_i = np.maximum.accumulate(np.where(~is_i, idx, -1))
+    run_start = last_non_i + 1  # first index of the I-run containing idx
+    # for a B at p, its run is the I-run starting at p+1 (if any)
+    nxt = b_pos + 1
+    has_run = (nxt < n_tok) & is_i[np.minimum(nxt, n_tok - 1)]
+    # compute per-run ends: an I at j is a run end if j+1>=n or ~is_i[j+1]
+    i_end = np.flatnonzero(is_i & np.r_[~is_i[1:], True])
+    end_idx = b_pos.copy()
+    if i_end.size:
+        cand = np.searchsorted(i_end, nxt)
+        cand_c = np.minimum(cand, i_end.size - 1)
+        ok = has_run & (run_start[np.minimum(i_end[cand_c], n_tok - 1)] == nxt)
+        end_idx = np.where(ok, i_end[cand_c], b_pos)
+    cls_i = (flat[b_pos] - 1) // 2
+    s_char = starts[b_pos].astype(np.int64)
+    e_char = ends[end_idx].astype(np.int64)
+    rows_of = sel[row_id[b_pos]]  # back to original row ordinals
+    return rows_of, s_char, e_char, cls_i, n_rows
+
+
+def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],
+                trans: np.ndarray) -> pd.Series:
+    """text -> list[(start, end, ent_type, score)] per row (test surface)."""
+    rows_of, s_char, e_char, cls_i, n_rows = _label_core(texts, gaz, trans)
     out_lists: list[list[tuple]] = [[] for _ in range(n_rows)]
-    if b_pos.size:
-        # end of each span: last index of the consecutive-I run after its B
-        idx = np.arange(n_tok)
-        last_non_i = np.maximum.accumulate(np.where(~is_i, idx, -1))
-        run_start = last_non_i + 1  # first index of the I-run containing idx
-        # for a B at p, its run is the I-run starting at p+1 (if any)
-        nxt = b_pos + 1
-        has_run = (nxt < n_tok) & is_i[np.minimum(nxt, n_tok - 1)]
-        # run end = largest j >= nxt with run_start[j] == nxt
-        # compute per-run ends: an I at j is a run end if j+1>=n or ~is_i[j+1]
-        i_end = np.flatnonzero(is_i & np.r_[~is_i[1:], True])
-        # map each B's run start to its run end via searchsorted on run ends
-        end_idx = b_pos.copy()
-        if i_end.size:
-            cand = np.searchsorted(i_end, nxt)
-            cand_c = np.minimum(cand, i_end.size - 1)
-            ok = has_run & (run_start[np.minimum(i_end[cand_c], n_tok - 1)] == nxt)
-            end_idx = np.where(ok, i_end[cand_c], b_pos)
-        cls_i = (flat[b_pos] - 1) // 2
-        s_char = starts[b_pos].astype(np.int64)
-        e_char = ends[end_idx].astype(np.int64)
-        rows_of = row_id[b_pos]
-        for r, s, e, c in zip(rows_of.tolist(), s_char.tolist(),
-                              e_char.tolist(), cls_i.tolist()):
-            out_lists[r].append((s, e, ENT_CLASSES[c], 1.0))
+    for r, s, e, c in zip(rows_of.tolist(), s_char.tolist(),
+                          e_char.tolist(), cls_i.tolist()):
+        out_lists[r].append((s, e, ENT_CLASSES[c], 1.0))
     return pd.Series(out_lists, index=texts.index)
 
 
-def make_labeler_udf(spark: SparkSession, candidate_dict: pd.DataFrame):
+def label_texts_packed(texts: pd.Series, gaz: dict[int, dict[str, int]],
+                       trans: np.ndarray) -> pd.Series:
+    """text -> 'start:end:cls start:end:cls ...' per row ('' = no spans).
+
+    The packed-string form exists because Arrow-converting a Series of
+    Python list-of-tuples costs more CPU than the labeling itself; one
+    short string per row crosses the Arrow boundary nearly for free and
+    the JVM re-expands it with codegen'd split/transform (see
+    label_transcripts).
+    """
+    rows_of, s_char, e_char, cls_i, n_rows = _label_core(texts, gaz, trans)
+    parts: list[list[str]] = [[] for _ in range(n_rows)]
+    for r, s, e, c in zip(rows_of.tolist(), s_char.tolist(),
+                          e_char.tolist(), cls_i.tolist()):
+        parts[r].append(f"{s}:{e}:{c}")
+    return pd.Series([" ".join(p) for p in parts], index=texts.index)
+
+
+def make_labeler_udf(spark: SparkSession, candidate_dict: pd.DataFrame,
+                     packed: bool = False):
     """Build the scalar pandas UDF; gazetteer ships as a Spark broadcast."""
     gaz = build_gazetteer(candidate_dict)
     trans = build_transitions()
     bc = spark.sparkContext.broadcast((gaz, trans))
+
+    if packed:
+        @F.pandas_udf("string")
+        def label_spans_packed(texts: pd.Series) -> pd.Series:
+            g, tr = bc.value
+            return label_texts_packed(texts, g, tr)
+
+        return label_spans_packed
 
     @F.pandas_udf(SPANS_ARRAY)
     def label_spans(texts: pd.Series) -> pd.Series:
@@ -237,6 +291,26 @@ def make_labeler_udf(spark: SparkSession, candidate_dict: pd.DataFrame):
 
 def label_transcripts(spark: SparkSession, transcripts: DataFrame,
                       candidate_dict: pd.DataFrame) -> DataFrame:
-    """transcripts -> + spans column (array<struct<start,end,ent_type,score>>)."""
-    udf = make_labeler_udf(spark, candidate_dict)
-    return transcripts.withColumn("spans", udf(F.col("text")))
+    """transcripts -> + spans column (array<struct<start,end,ent_type,score>>).
+
+    The UDF emits packed span strings; the struct array is rebuilt JVM-side
+    with whole-stage-codegen'd split/transform — identical schema and
+    values to the direct SPANS_ARRAY UDF (tests pin both paths equal)."""
+    udf = make_labeler_udf(spark, candidate_dict, packed=True)
+    classes = F.array(*[F.lit(c) for c in ENT_CLASSES])
+    packed = transcripts.withColumn("_spans_packed", udf(F.col("text")))
+    span_of = lambda p: F.struct(  # noqa: E731
+        F.split(p, ":").getItem(0).cast("int").alias("start"),
+        F.split(p, ":").getItem(1).cast("int").alias("end"),
+        F.element_at(classes, F.split(p, ":").getItem(2).cast("int") + 1)
+         .alias("ent_type"),
+        F.lit(1.0).cast("float").alias("score"),
+    )
+    return (
+        packed.withColumn(
+            "spans",
+            F.when(F.col("_spans_packed") == "",
+                   F.array().cast(SPANS_ARRAY))
+             .otherwise(F.transform(F.split("_spans_packed", " "), span_of)))
+        .drop("_spans_packed")
+    )

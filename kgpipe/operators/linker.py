@@ -64,3 +64,22 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1,
         .filter(F.col("rank") <= k)
         .drop("alias", "ent_class", "prior")
     )
+
+
+def top1_dict(candidate_dict: pd.DataFrame) -> pd.DataFrame:
+    """Dedupe the candidate dictionary to its best candidate per
+    (alias, ent_class) using the SAME total order as the ranking window
+    (score desc, entity_id asc).
+
+    With a top-1-deduped dictionary, k=1 linking needs no ranking window at
+    all — the broadcast join is map-side and the mentions side never
+    shuffles. This is the difference between a full shuffle of every
+    mention row (with its text payload) and zero shuffle, which is what
+    makes the linking stage scale linearly with cores; the ranked path
+    remains for k>1.
+    """
+    return (candidate_dict
+            .sort_values(["prior", "entity_id"], ascending=[False, True],
+                         kind="mergesort")
+            .drop_duplicates(["alias", "ent_class"], keep="first")
+            .reset_index(drop=True))

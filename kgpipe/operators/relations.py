@@ -41,69 +41,64 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
 
     Returns (subj, pred, obj, conv_id, turn_idx, conf). Entity ids are
     pre-canonicalization (may include ``~v1`` variants).
+
+    Single-pass plan: ONE window (per-conversation lag over the explicit
+    total order (turn_idx, span_start, span_end)) yields both cases —
+
+    * intra-turn (prev mention in the SAME turn): the text strictly between
+      the previous mention and this one is a predicate phrase
+      -> (prev_entity, pred, entity), conf 1.0
+    * cross-turn (this row is its turn's FIRST mention): the turn's prefix
+      is a predicate phrase and the nearest preceding mention-bearing turn
+      is within `window` -> that turn's last entity becomes the subject,
+      conf 0.9 — lag(entity) at a turn's first mention IS exactly "last
+      mention of the nearest prior turn", so no groupBy/self-join is needed
+
+    — so the whole stage is one shuffle on conv_id plus one broadcast join,
+    replacing the previous three-branch union (two window shuffles + a
+    groupBy + a join) whose repeated subtrees also forced the caller to
+    persist `linked`. Semantics are pinned by the planted-gold e2e tests
+    and the streaming-parity test (the keyed-state op mirrors this logic).
     """
     preds = predicates_df(spark)
 
-    w_turn = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        "span_start", "span_end")
-    m = linked.select("conv_id", "turn_idx", "span_start", "span_end",
-                      "entity_id", "text")
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", "span_start", "span_end")
     m = (
-        m.withColumn("prev_end", F.lag("span_end").over(w_turn))
-        .withColumn("prev_ent", F.lag("entity_id").over(w_turn))
+        linked.select("conv_id", "turn_idx", "span_start", "span_end",
+                      "entity_id", "text")
+        .withColumn("prev_turn", F.lag("turn_idx").over(w))
+        .withColumn("prev_end", F.lag("span_end").over(w))
+        .withColumn("prev_ent", F.lag("entity_id").over(w))
     )
 
-    # intra-turn: text strictly between the previous mention and this one
+    intra_case = F.col("prev_turn") == F.col("turn_idx")
+    cross_case = (
+        F.col("prev_turn").isNotNull()
+        & (F.col("prev_turn") < F.col("turn_idx"))
+        & (F.col("prev_turn") >= F.col("turn_idx") - window)
+    )
     between = F.col("text").substr(
         F.col("prev_end") + 1, F.col("span_start") - F.col("prev_end"))
-    intra = (
-        m.filter(F.col("prev_end").isNotNull())
-        .withColumn("phrase_norm", _norm(between))
-        .join(F.broadcast(preds), F.col("phrase_norm") == preds["phrase"], "inner")
+    prefix = F.col("text").substr(F.lit(1), F.col("span_start"))
+
+    phrased = (
+        m.withColumn(
+            "phrase_norm",
+            F.when(intra_case, _norm(between))
+             .when(cross_case, _norm(prefix)))
+        .filter(F.col("phrase_norm").isNotNull())
+    )
+    return (
+        phrased.join(F.broadcast(preds),
+                     F.col("phrase_norm") == preds["phrase"], "inner")
         .select(
             F.col("prev_ent").alias("subj"),
             F.col("pred"),
             F.col("entity_id").alias("obj"),
             "conv_id",
             "turn_idx",
-            F.lit(1.0).cast("float").alias("conf"),
+            F.when(intra_case, F.lit(1.0)).otherwise(F.lit(0.9))
+             .cast("float").alias("conf"),
         )
     )
-
-    # cross-turn: first mention of a turn whose prefix IS a predicate phrase
-    dangling = (
-        m.filter(F.col("prev_end").isNull())
-        .withColumn("prefix_norm",
-                    _norm(F.col("text").substr(F.lit(1), F.col("span_start"))))
-        .join(F.broadcast(preds), F.col("prefix_norm") == preds["phrase"], "inner")
-        .select("conv_id", "turn_idx", "pred",
-                F.col("entity_id").alias("obj"))
-    )
-
-    # subject = entity of the last mention in the preceding `window` turns.
-    # Shuffles once on conv_id; the range frame rides the same sort.
-    turn_last = linked.groupBy("conv_id", "turn_idx").agg(
-        F.max_by("entity_id", F.struct("span_start", "span_end")).alias("last_ent")
-    )
-    w_conv = (
-        Window.partitionBy("conv_id").orderBy("turn_idx")
-        .rangeBetween(-window, -1)
-    )
-    turn_ctx = turn_last.withColumn(
-        "win_subj", F.last("last_ent", ignorenulls=True).over(w_conv)
-    ).select("conv_id", "turn_idx", "win_subj")
-
-    cross = (
-        dangling.join(turn_ctx, ["conv_id", "turn_idx"], "inner")
-        .filter(F.col("win_subj").isNotNull())
-        .select(
-            F.col("win_subj").alias("subj"),
-            "pred",
-            "obj",
-            "conv_id",
-            "turn_idx",
-            F.lit(0.9).cast("float").alias("conf"),
-        )
-    )
-
-    return intra.unionByName(cross)

@@ -66,18 +66,19 @@ def run_pipeline(
     labeled = label_transcripts(spark, transcripts, candidate_dict)
     mentions = extract_mentions(labeled)
     dict_df = dict_to_df(spark, candidate_dict)
-    # persist the labeler output: the triple-extraction union references the
-    # linked subtree from three branches (intra-turn, dangling, turn-context)
-    # and Catalyst does no cross-branch CSE — without this the Arrow-UDF
-    # Viterbi labeler runs 3x (measured 154s -> ~55s at sf0.1). On the
-    # production path the checkpointed runner gets the same reuse by
-    # materializing each stage to the graph table storage.
-    from pyspark import StorageLevel
+    # no persist anywhere: with the window-free top-1 linker and the
+    # single-pass triple extractor, every intermediate is referenced exactly
+    # once, so the plan is one straight pipeline (scan -> Arrow UDF ->
+    # explode -> broadcast join -> one conv_id window -> broadcast join ->
+    # dedup). Block-manager persists measurably ANTI-scaled at high core
+    # counts (MemoryStore unroll contention: 46s vs 16s to build the same
+    # 2.8M-row stage at local[32]).
+    from kgpipe.operators.linker import top1_dict
 
-    linked = link_entities(mentions, dict_df, k=1).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    raw_triples = extract_triples(spark, linked, window=window).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    linked = link_entities(
+        mentions, dict_to_df(spark, top1_dict(candidate_dict)),
+        k=1, ranked=False)
+    raw_triples = extract_triples(spark, linked, window=window)
     canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     triples = canonicalize(raw_triples, canon_map)
     return {
@@ -126,11 +127,14 @@ def run_pipeline_checkpointed(
 
     run = CheckpointedRun(spark, run_dir)
 
+    from kgpipe.operators.linker import top1_dict
+
+    top1_df = dict_to_df(spark, top1_dict(candidate_dict))
     s1 = run.stage(
         "linked", transcripts,
         lambda df: link_entities(
             extract_mentions(label_transcripts(spark, df, candidate_dict)),
-            dict_df, k=1),
+            top1_df, k=1, ranked=False),
         n_buckets=n_buckets, fingerprint=fp1)
     s2 = run.stage(
         "raw_triples", s1.df,

@@ -186,15 +186,11 @@ def incremental_triples(spark: SparkSession, transcripts_stream: DataFrame,
     labeled = label_transcripts(spark, transcripts_stream, candidate_dict)
     mentions = extract_mentions(labeled, keep_text=True)
     # ranking windows are unsupported on streams; k=1 linking is made
-    # window-free by deduping the broadcast dictionary to its top candidate
-    # per (alias, class) with the SAME total order the batch linker uses
-    # (score desc, entity_id asc) — so batch and stream link identically.
-    top1 = (candidate_dict
-            .sort_values(["prior", "entity_id"], ascending=[False, True],
-                         kind="mergesort")
-            .drop_duplicates(["alias", "ent_class"], keep="first")
-            .reset_index(drop=True))
-    dict_df = dict_to_df(spark, top1)
+    # window-free by deduping the broadcast dictionary (same total order as
+    # the batch path — see linker.top1_dict)
+    from kgpipe.operators.linker import top1_dict
+
+    dict_df = dict_to_df(spark, top1_dict(candidate_dict))
     linked = link_entities(mentions, dict_df, k=1, ranked=False)
     sel = linked.select("conv_id", "turn_idx", "span_start", "span_end",
                         "entity_id", "text")
