@@ -4,7 +4,9 @@
 No real cluster exists in this sandbox (SURVEY.md §4.4), so the criterion
 is evidenced by running the IDENTICAL pipeline job in fresh JVMs at two
 parallelism levels over the same input (a 16x-replicated sf0.1 transcript
-corpus, ~2.4M turns), reporting triples/sec at both and
+corpus, ~9.7M turns — sized so the ~18s fixed per-run cost is <5% of
+the N-level wall; T(c)=F+W/c fitted from pinned runs), reporting
+triples/sec at both and
 
     efficiency = (throughput_4N / throughput_N) / 4
 
@@ -43,7 +45,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def ensure_scalebench_fixture(reps: int = 16) -> str:
+def ensure_scalebench_fixture(reps: int = 64) -> str:
     """sf0.1 transcripts x``reps`` with suffixed conv_ids (cached)."""
     from kgpipe.fixtures.generator import materialize
 
@@ -74,18 +76,37 @@ def ensure_scalebench_fixture(reps: int = 16) -> str:
 
 
 def run_level(fixture: str, cpus: int) -> dict:
+    """One pipeline run pinned to exactly ``cpus`` CPUs.
+
+    ``local[N]`` alone bounds only task slots — Python UDF workers, GC and
+    shuffle threads spill onto other cores, so an unpinned local[2] run
+    really consumes ~3x its nominal cores and understates scaling.
+    ``taskset -c 0..N-1`` makes the run an honest N-core-cluster proxy:
+    everything the job spawns (JVM + pyspark daemons) inherits the mask."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     outdir = f"/tmp/scalebench_out_{cpus}"
-    shutil.rmtree(outdir, ignore_errors=True)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "run_pipeline.py"),
-         "--input", fixture, "--output", outdir, "--master", f"local[{cpus}]"],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=3600)
-    last = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(last)
-    return {"cpus": cpus, "wall_sec": rec["wall_sec"],
-            "triples": rec["triples"],
-            "triples_per_sec": rec["triples_per_sec"]}
+    last_err = None
+    for attempt in range(2):  # retry once: the host sporadically wedges a
+        shutil.rmtree(outdir, ignore_errors=True)  # python-runner socket pair
+        try:
+            proc = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, os.path.join(REPO, "run_pipeline.py"),
+                 "--input", fixture, "--output", outdir,
+                 "--master", f"local[{cpus}]"],
+                env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=1500)
+            last = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            rec = json.loads(last)
+            return {"cpus": cpus, "wall_sec": rec["wall_sec"],
+                    "triples": rec["triples"],
+                    "triples_per_sec": rec["triples_per_sec"]}
+        except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
+            last_err = e
+            subprocess.run(["pkill", "-9", "-f", "run_pipeline.py"],
+                           capture_output=True)
+    raise RuntimeError(f"level {cpus} failed twice: {last_err!r}")
 
 
 def best_of(fixture: str, cpus: int, runs: int = 2) -> dict:
@@ -101,7 +122,8 @@ def _burn(n: int) -> int:
 
 
 def cpu_burn_control(per: int = 12_000_000) -> dict:
-    """Raw multiprocessing CPU scaling on this host (engine-independent)."""
+    """Raw multiprocessing CPU scaling on this host (engine-independent).
+    Unpinned (pool size == active processes == cores used)."""
     out = {}
     for w in (2, 8, 32):
         with mp.Pool(w) as p:

@@ -66,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         triples = spark.read.parquet(args.output)
         report["metrics"] = evaluate_triples(triples, out["gold"])
-    print(json.dumps(report))
+    print(json.dumps(report), flush=True)
+    # explicit stop: an orphaned local-mode JVM outlives the driver script
+    # otherwise, pinning cores and holding inherited pipes open
+    spark.stop()
     return 0
 
 
