@@ -36,11 +36,23 @@ def _norm(col):
 
 
 def extract_triples(spark: SparkSession, linked: DataFrame,
-                    window: int = 3) -> DataFrame:
+                    window: int = 3, chunk: int | None = 4096) -> DataFrame:
     """linked mentions (with text col) -> raw triples.
 
     Returns (subj, pred, obj, conv_id, turn_idx, conf). Entity ids are
     pre-canonicalization (may include ``~v1`` variants).
+
+    ``chunk`` is the skew treatment the north rule calls "salted by
+    conv_id": a per-conversation window puts a 10^6-turn hot conversation
+    into ONE task. With ``chunk=C`` the window partitions by
+    ``(conv_id, turn_idx // C)`` — task size is bounded by C turns no
+    matter how hot the key — and the only rows that lose their lag context
+    (each chunk's first mention-row) are repaired by joining a tiny
+    per-chunk summary (last mention of the previous chunk; the repair is
+    exact because intra-turn pairs never cross a chunk boundary — chunking
+    is by turn — and the cross-turn lookback ``window`` << C).
+    ``chunk=None`` is the unchunked reference plan; equality between the
+    two is pinned by tests/test_relations_chunk.py.
 
     Single-pass plan: ONE window (per-conversation lag over the explicit
     total order (turn_idx, span_start, span_end)) yields both cases —
@@ -62,15 +74,44 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
     """
     preds = predicates_df(spark)
 
-    w = Window.partitionBy("conv_id").orderBy(
-        "turn_idx", "span_start", "span_end")
-    m = (
-        linked.select("conv_id", "turn_idx", "span_start", "span_end",
-                      "entity_id", "text")
-        .withColumn("prev_turn", F.lag("turn_idx").over(w))
-        .withColumn("prev_end", F.lag("span_end").over(w))
-        .withColumn("prev_ent", F.lag("entity_id").over(w))
-    )
+    base = linked.select("conv_id", "turn_idx", "span_start", "span_end",
+                         "entity_id", "text")
+    if chunk is None:
+        w = Window.partitionBy("conv_id").orderBy(
+            "turn_idx", "span_start", "span_end")
+        m = (base
+             .withColumn("prev_turn", F.lag("turn_idx").over(w))
+             .withColumn("prev_end", F.lag("span_end").over(w))
+             .withColumn("prev_ent", F.lag("entity_id").over(w)))
+    else:
+        if window >= chunk:
+            raise ValueError("chunk must exceed the turn window")
+        base = base.withColumn(
+            "_chunk", (F.col("turn_idx") / F.lit(chunk)).cast("long"))
+        w = Window.partitionBy("conv_id", "_chunk").orderBy(
+            "turn_idx", "span_start", "span_end")
+        m = (base
+             .withColumn("prev_turn", F.lag("turn_idx").over(w))
+             .withColumn("prev_end", F.lag("span_end").over(w))
+             .withColumn("prev_ent", F.lag("entity_id").over(w)))
+        # repair each chunk's first mention-row: its true predecessor is
+        # the LAST mention of the previous chunk (one summary row per
+        # (conv, chunk) — a tiny shuffle). Only the cross-turn case can
+        # span a boundary, so prev_end needs no repair.
+        summary = (base.groupBy("conv_id", "_chunk").agg(
+            F.max_by("turn_idx",
+                     F.struct("turn_idx", "span_start", "span_end"))
+             .alias("b_turn"),
+            F.max_by("entity_id",
+                     F.struct("turn_idx", "span_start", "span_end"))
+             .alias("b_ent"))
+            .withColumn("_chunk", F.col("_chunk") + 1))
+        m = (m.join(summary, ["conv_id", "_chunk"], "left")
+             .withColumn("prev_turn",
+                         F.coalesce("prev_turn", "b_turn"))
+             .withColumn("prev_ent",
+                         F.coalesce("prev_ent", "b_ent"))
+             .drop("b_turn", "b_ent", "_chunk"))
 
     intra_case = F.col("prev_turn") == F.col("turn_idx")
     cross_case = (
