@@ -78,11 +78,13 @@ def main() -> int:
             timings[name] = -1.0
             extras.setdefault("errors", {})[name] = repr(e)[:200]  # type: ignore[union-attr]
 
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".bench", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            extras["scaling"] = json.load(f)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    for fname, key in (("scaling.json", "scaling"),
+                       ("cluster_scaling.json", "cluster_scaling")):
+        path = os.path.join(bench_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                extras[key] = json.load(f)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     line = {"metric": "total_bench_sec", "value": total, "unit": "sec",
