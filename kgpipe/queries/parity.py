@@ -69,6 +69,26 @@ def compare(spark: SparkSession, name: str, sf_dir: str) -> dict:
     report["oracle_rows"] = len(want)
     report["cols_match"] = list(got.columns) == list(want.columns)
     report["rows_match"] = len(got) == len(want)
+    # The driver hashes VALUES, so int 0 vs float 0.0 is a mismatch even
+    # though assert_frame_equal(check_dtype=False) equates them. Replicate
+    # that strictness: numeric kind ('i' vs 'f') must agree per column.
+    # (Round-1 shipped exactly this bug: a DuckDB HUGEINT sum came back as
+    # float64 while Spark emitted bigint — local parity passed, driver hash
+    # failed. See join_left_outer_orderless.)
+    if report["cols_match"]:
+        kinds_got = [got[c].dtype.kind for c in got.columns]
+        kinds_want = [want[c].dtype.kind for c in want.columns]
+        report["dtype_kinds_match"] = all(
+            kg == kw or {kg, kw} <= {"O", "U"}
+            for kg, kw in zip(kinds_got, kinds_want)
+        )
+        if not report["dtype_kinds_match"]:
+            report["dtype_detail"] = (
+                f"spark kinds={kinds_got} oracle kinds={kinds_want} "
+                f"cols={list(got.columns)}"
+            )
+    else:
+        report["dtype_kinds_match"] = False
     if report["cols_match"] and report["rows_match"]:
         try:
             pd.testing.assert_frame_equal(
@@ -86,6 +106,11 @@ def compare(spark: SparkSession, name: str, sf_dir: str) -> dict:
             f"oracle cols={list(want.columns)} rows={len(want)}"
         )
     report["ok"] = bool(
-        report["cols_match"] and report["rows_match"] and report["values_match"]
+        report["cols_match"]
+        and report["rows_match"]
+        and report["values_match"]
+        and report["dtype_kinds_match"]
     )
+    if not report["ok"] and "detail" not in report:
+        report["detail"] = report.get("dtype_detail", "dtype kind mismatch")
     return report

@@ -158,7 +158,8 @@ def join_orders_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_customers,
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orderless
     FROM customer c
     LEFT JOIN (SELECT DISTINCT o_custkey, min(o_orderkey) AS o_orderkey
                FROM orders GROUP BY o_custkey) o
@@ -217,13 +218,18 @@ def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     GROUP BY c.c_mktsegment
     """,
 )
 def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "no big orders" rather than "no orders": every synthetic customer has
+    # at least one order, so the unfiltered anti set is empty (a vacuous
+    # check). The >400k filter leaves a non-empty anti set at every SF.
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -379,6 +385,27 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "global_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global sort-limit (B17): orderBy().limit(k) compiles to
+    # TakeOrderedAndProject — per-partition top-k then a k-row driver merge,
+    # NOT a global sort shuffle; constant memory at any SF.
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # B18: set operations
 
@@ -397,14 +424,28 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT/EXCEPT/UNION over the same two keysets collapse to ONE
+    # full-outer join with presence flags + one agg: a single Spark job with
+    # a single shuffle, vs. the naive 3-action form (3 jobs, duplicated
+    # intersect subplan) this replaced.
     o = load(spark, sf_dir, "orders")
-    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    both = y95.intersect(y96).count()
-    only95 = y95.exceptAll(y95.intersect(y96)).count()
-    either = y95.union(y96).distinct().count()
-    return spark.createDataFrame(
-        [(both, only95, either)], "in_both long, only_95 long, in_either long"
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey").distinct().withColumn("a", F.lit(1))
+    )
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey").distinct().withColumn("b", F.lit(1))
+    )
+    j = y95.join(y96, "o_custkey", "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("a").isNotNull() & F.col("b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("in_both"),
+        F.sum(
+            F.when(F.col("a").isNotNull() & F.col("b").isNull(), 1).otherwise(0)
+        ).cast("long").alias("only_95"),
+        F.count(F.lit(1)).alias("in_either"),
     )
 
 
