@@ -18,7 +18,7 @@ are hashes, and AQE skew-join covers hot buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgpipe.queries.registry import load, register
@@ -32,6 +32,12 @@ MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 MINHASH_AB = [(2387, 268439), (3947, 524309), (5273, 786451), (6863, 1048583),
               (1409, 131101), (2741, 262147), (4391, 393241), (7211, 655373)]
 LSH_BANDS = 4  # 4 bands x 2 rows
+# Drop LSH buckets holding more than this many docs: within-bucket pairing
+# is quadratic, and on boilerplate-heavy corpora a single bucket can hold
+# every copy of a template. Standard LSH practice; far above any bucket
+# size the synthetic dup corpus produces, so the cap never changes test
+# results — it only bounds the worst case at scale.
+LSH_BUCKET_CAP = 64
 
 
 def portable_hash_spark(col: Column) -> Column:
@@ -258,16 +264,39 @@ def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures — exact cross-engine via the portable hash
 
 
-def _minhash_cols_spark(toks: Column) -> list[Column]:
+def _minhash_struct_spark(toks: Column) -> Column:
+    """All 8 minhash minima in ONE fold over the hashed-shingle array.
+
+    The round-1 form emitted 8 separate ``array_min(transform(...))``
+    columns; Catalyst does no CSE across higher-order expressions, so each
+    column re-derived the shingle+md5 array — 8 md5 passes per row
+    (measured 3.2s vs 0.5s for this fold at sf0.1). Here the hash array
+    appears exactly once and the accumulator struct carries all 8 running
+    minima. Fold-least == array_min because the >=3-token filter guarantees
+    a non-empty array and (x*a+b) % P < P (the init sentinel).
+    """
     sh = F.array_distinct(_shingles_spark(toks))
-    h = F.transform(
-        sh, portable_hash_spark
+    h = F.transform(sh, portable_hash_spark)
+    init = F.struct(
+        *[F.lit(MINHASH_P).cast("long").alias(f"mh{i}")
+          for i in range(len(MINHASH_AB))]
     )
-    out = []
-    for i, (a, b) in enumerate(MINHASH_AB):
-        perm = F.transform(h, lambda x: (x * a + b) % MINHASH_P)
-        out.append(F.array_min(perm).alias(f"mh{i}"))
-    return out
+
+    def merge(acc: Column, x: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(acc[f"mh{i}"], (x * a + b) % MINHASH_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
+
+    return F.aggregate(h, init, merge)
+
+
+def _minhash_cols_spark(toks: Column) -> list[Column]:
+    m = _minhash_struct_spark(toks)
+    return [m.getField(f"mh{i}").alias(f"mh{i}")
+            for i in range(len(MINHASH_AB))]
 
 
 def _minhash_sql_exprs() -> list[str]:
@@ -300,10 +329,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH near-duplicate candidate pairs: band the signature, bucket-join
 
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH sigs AS (
+# Shared CTE chain: portable MinHash signatures over the dup corpus ->
+# banded buckets -> size-capped candidate pairs. Used verbatim by both the
+# LSH-pairs oracle and the Jaccard-verify oracle so the two stages agree.
+def _lsh_cand_ctes() -> str:
+    return f"""
+    sigs AS (
       SELECT doc_id, {", ".join(_minhash_sql_exprs())}
       FROM {_DUP_CORPUS_SQL} corpus
       WHERE len(string_split(text, ' ')) >= 3
@@ -316,26 +347,47 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 2, md5(concat_ws(',', mh4, mh5)) FROM sigs
       UNION ALL
       SELECT doc_id, 3, md5(concat_ws(',', mh6, mh7)) FROM sigs
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(DISTINCT a.band) AS n_bands
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (
+      SELECT doc_id, band, bucket,
+             count(*) OVER (PARTITION BY band, bucket) AS bsz
+      FROM bands
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(DISTINCT a.band) AS n_bands
+      FROM sized a JOIN sized b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE a.bsz <= {LSH_BUCKET_CAP}
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()}
+    SELECT doc_a, doc_b, n_bands FROM cand
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus_spark(spark, sf_dir)
     toks = F.split("text", " ")
-    sigs = corpus.filter(F.size(toks) >= 3).select(
-        "doc_id", *_minhash_cols_spark(toks)
+    # Materialize signatures ONCE. Without this the plan recomputes the
+    # shingle+8-minhash HOF chain 8x (4 band branches x 2 self-join sides) —
+    # measured 26s -> the checkpointed form at sf0.1. At 100 TB a real
+    # pipeline would write sigs to a table between stages; localCheckpoint
+    # is the in-session equivalent (executor-local MEMORY_AND_DISK blocks).
+    # NOTE (measured, sf0.1, round 1): the "obvious" one-pass alternative —
+    # explode an inline array of (band, bucket) structs — was 3x slower
+    # than the banded union because project-collapse re-inlined the HOFs;
+    # checkpointing removes the recomputation a different way and keeps the
+    # union's column pruning.
+    sigs = (
+        corpus.filter(F.size(toks) >= 3)
+        .select("doc_id", *_minhash_cols_spark(toks))
+        .localCheckpoint()
     )
-    # NOTE (measured, sf0.1): the "obvious" one-pass rewrite — explode an
-    # inline array of (band, bucket) structs — is 3x SLOWER than this
-    # union (45-53s vs 16s): project-collapse inlines all eight minhash
-    # HOF expressions into the generator and the join sides re-expand
-    # them, while each union branch prunes to exactly its two signature
-    # columns. Keep the union.
     bands = None
     for band in range(LSH_BANDS):
         c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -345,8 +397,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(",", c0, c1)).alias("bucket"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-size cap: the count window shuffles on exactly the join key
+    # (band, bucket), so the self-join below reuses that exchange
+    # (ReusedExchange) instead of shuffling twice more.
+    w = Window.partitionBy("band", "bucket")
+    sized = bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+    a = sized.filter(F.col("bsz") <= LSH_BUCKET_CAP).alias("a")
+    b = sized.alias("b")
     return (
         a.join(
             b,
@@ -369,19 +426,30 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_dups",
     oracle=f"""
-    WITH sh AS (
+    WITH {_lsh_cand_ctes()},
+    sh AS (
       SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
       FROM {_DUP_CORPUS_SQL} corpus
       WHERE len(string_split(text, ' ')) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.doc_id + 1000000 = b.doc_id
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
     """,
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification of the LSH candidate pairs — the second
+    stage of the real near-dup pipeline (LSH proposes, Jaccard disposes).
+    Round 1 joined on the synthetic ``doc_id + 1000000`` pairing, which
+    verified only the planted duplicates; consuming ``minhash_lsh_pairs``
+    output makes this a generic operator: any candidate source works.
+    """
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     corpus = _dup_corpus_spark(spark, sf_dir)
     toks = F.split("text", " ")
     sh = corpus.filter(F.size(toks) >= 3).select(
@@ -391,10 +459,16 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
     union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
-    return a.join(b, F.col("a.doc_id") + 1000000 == F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
     )
 
 
