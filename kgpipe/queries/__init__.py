@@ -20,5 +20,6 @@ from kgpipe.queries.registry import ORACLES, QUERIES, register  # noqa: F401
 from kgpipe.queries import relational  # noqa: E402,F401
 from kgpipe.queries import analytics  # noqa: E402,F401
 from kgpipe.queries import textops  # noqa: E402,F401
+from kgpipe.queries import udfs  # noqa: E402,F401
 from kgpipe.queries import vectorops  # noqa: E402,F401
 from kgpipe.queries import kg  # noqa: E402,F401
