@@ -40,13 +40,10 @@ from datetime import datetime, timedelta, timezone
 import numpy as np
 import pandas as pd
 
-# predicate surface phrase -> predicate id
-PRED_PHRASES: dict[str, str] = {
-    "works at": "works_at",
-    "released": "released",
-    "met": "met",
-    "in": "located_in",
-}
+# predicate surface phrase -> predicate id: the fixture plants relations
+# using the ENGINE's default predicate table (kgpipe.predicates) — the
+# fixture depends on engine config, never the reverse.
+from kgpipe.predicates import DEFAULT_PRED_PHRASES as PRED_PHRASES
 
 # Filler vocabulary: disjoint from predicate words and (lowercase) entity
 # words. Entity words are generated >= 5 chars from a separate rng stream and

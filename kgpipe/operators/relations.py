@@ -21,14 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgpipe.fixtures.generator import PRED_PHRASES
-
-
-def predicates_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(phrase, pred) for phrase, pred in PRED_PHRASES.items()],
-        "phrase string, pred string",
-    )
+from kgpipe.predicates import predicates_df
 
 
 def _norm(col):
@@ -36,7 +29,8 @@ def _norm(col):
 
 
 def extract_triples(spark: SparkSession, linked: DataFrame,
-                    window: int = 3, chunk: int | None = 4096) -> DataFrame:
+                    window: int = 3, chunk: int | None = 4096,
+                    predicates=None) -> DataFrame:
     """linked mentions (with text col) -> raw triples.
 
     Returns (subj, pred, obj, conv_id, turn_idx, conf). Entity ids are
@@ -66,13 +60,17 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
       conf 0.9 — lag(entity) at a turn's first mention IS exactly "last
       mention of the nearest prior turn", so no groupBy/self-join is needed
 
+    ``predicates`` is any form kgpipe.predicates accepts (dict / pandas /
+    DataFrame / None for the built-in default table) — the extractor is not
+    tied to any particular phrase set.
+
     — so the whole stage is one shuffle on conv_id plus one broadcast join,
     replacing the previous three-branch union (two window shuffles + a
     groupBy + a join) whose repeated subtrees also forced the caller to
     persist `linked`. Semantics are pinned by the planted-gold e2e tests
     and the streaming-parity test (the keyed-state op mirrors this logic).
     """
-    preds = predicates_df(spark)
+    preds = predicates_df(spark, predicates)
 
     base = linked.select("conv_id", "turn_idx", "span_start", "span_end",
                          "entity_id", "text")

@@ -61,6 +61,7 @@ def run_pipeline(
     candidate_dict: pd.DataFrame,
     window: int = 3,
     cc_algo: str = "two_phase",
+    predicates=None,
 ) -> dict[str, DataFrame]:
     """Run all stages; returns the intermediate + final DataFrames (lazy)."""
     labeled = label_transcripts(spark, transcripts, candidate_dict)
@@ -78,7 +79,8 @@ def run_pipeline(
     linked = link_entities(
         mentions, dict_to_df(spark, top1_dict(candidate_dict)),
         k=1, ranked=False)
-    raw_triples = extract_triples(spark, linked, window=window)
+    raw_triples = extract_triples(spark, linked, window=window,
+                                  predicates=predicates)
     canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     triples = canonicalize(raw_triples, canon_map)
     return {
@@ -98,6 +100,7 @@ def run_pipeline_checkpointed(
     window: int = 3,
     n_buckets: int = 32,
     cc_algo: str = "two_phase",
+    predicates=None,
 ) -> dict[str, object]:
     """A14 resumable run: three conv_id-bucketed stages with per-bucket
     lineage manifests (operators/checkpoint.py). Re-invoking with the same
@@ -121,8 +124,17 @@ def run_pipeline_checkpointed(
     candidate_dict = pd.read_parquet(dpath)
     dict_df = dict_to_df(spark, candidate_dict)
 
+    from kgpipe.predicates import predicates_dict
+
+    pred_map = predicates_dict(predicates)
+    # the predicate table is stage config: changing it must invalidate the
+    # raw_triples checkpoint (and transitively everything downstream)
+    pred_fp = hashlib.sha256(
+        repr(sorted(pred_map.items())).encode()).hexdigest()[:8]
     fp1 = input_fingerprint([tpath, dpath], {"stage": "linked", "v": 1})
-    fp2 = hashlib.sha256(f"{fp1}|raw_triples|w={window}|v=1".encode()).hexdigest()[:16]
+    fp2 = hashlib.sha256(
+        f"{fp1}|raw_triples|w={window}|p={pred_fp}|v=1".encode()
+    ).hexdigest()[:16]
     fp3 = hashlib.sha256(f"{fp2}|triples|cc={cc_algo}|v=1".encode()).hexdigest()[:16]
 
     run = CheckpointedRun(spark, run_dir)
@@ -138,7 +150,8 @@ def run_pipeline_checkpointed(
         n_buckets=n_buckets, fingerprint=fp1)
     s2 = run.stage(
         "raw_triples", s1.df,
-        lambda df: extract_triples(spark, df, window=window),
+        lambda df: extract_triples(spark, df, window=window,
+                                   predicates=pred_map),
         n_buckets=n_buckets, fingerprint=fp2)
     canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     s3 = run.stage(
@@ -153,12 +166,18 @@ def run_pipeline_checkpointed(
 def run_from_dir(spark: SparkSession, fixture_dir: str,
                  window: int = 3) -> dict[str, DataFrame]:
     """Run the pipeline over a fixture directory (transcripts.parquet +
-    candidate_dict.parquet [+ gold_triples.parquet])."""
+    candidate_dict.parquet [+ gold_triples.parquet] [+ predicates.parquet:
+    a (phrase, pred) table overriding the default predicate config])."""
+    from kgpipe.predicates import load_predicates
+
     transcripts = read_transcripts(
         spark, os.path.join(fixture_dir, "transcripts.parquet"))
     candidate_dict = pd.read_parquet(
         os.path.join(fixture_dir, "candidate_dict.parquet"))
-    out = run_pipeline(spark, transcripts, candidate_dict, window=window)
+    ppath = os.path.join(fixture_dir, "predicates.parquet")
+    predicates = load_predicates(ppath) if os.path.exists(ppath) else None
+    out = run_pipeline(spark, transcripts, candidate_dict, window=window,
+                       predicates=predicates)
     gold_path = os.path.join(fixture_dir, "gold_triples.parquet")
     if os.path.exists(gold_path):
         out["gold"] = spark.read.parquet(gold_path)

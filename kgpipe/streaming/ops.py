@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kgpipe.predicates import predicates_dict
 from kgpipe.schemas import TRANSCRIPTS
 
 EVENTS = T.StructType([
@@ -169,7 +170,7 @@ def _make_triple_stateful_fn(pred_phrases: dict[str, str], window: int):
 
 def incremental_triples(spark: SparkSession, transcripts_stream: DataFrame,
                         candidate_dict: pd.DataFrame,
-                        window: int = 3) -> DataFrame:
+                        window: int = 3, predicates=None) -> DataFrame:
     """Streaming KG construction: labeler -> mentions -> broadcast linking
     (all stateless, identical code to batch) then stateful turn-window
     triple extraction with per-conversation keyed state.
@@ -178,7 +179,6 @@ def incremental_triples(spark: SparkSession, transcripts_stream: DataFrame,
     (true for an append-only transcript log); within a batch order is
     re-established explicitly.
     """
-    from kgpipe.fixtures.generator import PRED_PHRASES
     from kgpipe.operators.labeler import label_transcripts
     from kgpipe.operators.linker import dict_to_df, link_entities
     from kgpipe.operators.mentions import extract_mentions
@@ -195,7 +195,7 @@ def incremental_triples(spark: SparkSession, transcripts_stream: DataFrame,
     sel = linked.select("conv_id", "turn_idx", "span_start", "span_end",
                         "entity_id", "text")
     return sel.groupBy("conv_id").applyInPandasWithState(
-        _make_triple_stateful_fn(dict(PRED_PHRASES), window),
+        _make_triple_stateful_fn(predicates_dict(predicates), window),
         outputStructType=_TRIPLE_OUT,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cc-algo", default="two_phase", choices=["two_phase", "minprop"])
     ap.add_argument("--eval", action="store_true",
                     help="evaluate P/R vs gold_triples.parquet in the input dir")
+    ap.add_argument("--predicates", default=None,
+                    help="parquet/CSV (phrase, pred) table overriding the "
+                         "built-in predicate config (kgpipe.predicates)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="A14 resumable mode: per-bucket lineage manifests under "
                          "this dir; re-running with the same dir resumes from "
@@ -41,13 +44,32 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("kgpipe-run", master=args.master)
     t0 = time.time()
+    predicates = None
+    if args.predicates:
+        from kgpipe.predicates import load_predicates
+
+        predicates = load_predicates(args.predicates)
     if args.checkpoint_dir:
         from kgpipe.pipeline import run_pipeline_checkpointed
 
         out = run_pipeline_checkpointed(
             spark, args.input, args.checkpoint_dir, window=args.window,
-            cc_algo=args.cc_algo)
+            cc_algo=args.cc_algo, predicates=predicates)
         import os as _os
+        gold_path = _os.path.join(args.input, "gold_triples.parquet")
+        if _os.path.exists(gold_path):
+            out["gold"] = spark.read.parquet(gold_path)
+    elif predicates is not None:
+        import pandas as _pd
+        from kgpipe.pipeline import run_pipeline, read_transcripts
+        import os as _os
+
+        transcripts = read_transcripts(
+            spark, _os.path.join(args.input, "transcripts.parquet"))
+        cd = _pd.read_parquet(
+            _os.path.join(args.input, "candidate_dict.parquet"))
+        out = run_pipeline(spark, transcripts, cd, window=args.window,
+                           predicates=predicates)
         gold_path = _os.path.join(args.input, "gold_triples.parquet")
         if _os.path.exists(gold_path):
             out["gold"] = spark.read.parquet(gold_path)
