@@ -32,6 +32,36 @@ def evaluate_triples(pred: DataFrame, gold: DataFrame,
             "precision": precision, "recall": recall, "f1": f1}
 
 
+SPAN_KEY = ["conv_id", "turn_idx", "span_start", "span_end", "ent_type"]
+
+
+def per_class_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-entity-class SPAN-level P/R (the reference's per-label tag
+    report, SURVEY.md §2C step 7): exact-span match on
+    (conv, turn, start, end, class). ``pred``/``gold`` are mentions-shaped
+    DataFrames (extract_mentions output or any table carrying SPAN_KEY).
+    One full-outer join + one agg — no driver collect."""
+    p = pred.select(*SPAN_KEY).dropDuplicates().withColumn("in_p", F.lit(1))
+    g = gold.select(*SPAN_KEY).dropDuplicates().withColumn("in_g", F.lit(1))
+    full = p.join(g, SPAN_KEY, "full")
+    return (
+        full.groupBy("ent_type")
+        .agg(
+            F.sum(F.when(F.col("in_p").isNotNull()
+                         & F.col("in_g").isNotNull(), 1).otherwise(0))
+            .alias("tp"),
+            F.sum(F.when(F.col("in_p").isNotNull()
+                         & F.col("in_g").isNull(), 1).otherwise(0))
+            .alias("fp"),
+            F.sum(F.when(F.col("in_p").isNull()
+                         & F.col("in_g").isNotNull(), 1).otherwise(0))
+            .alias("fn"),
+        )
+        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn("recall", F.col("tp") / (F.col("tp") + F.col("fn")))
+    )
+
+
 def per_predicate_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Per-predicate P/R as a DataFrame (mirrors the reference's per-label
     report)."""

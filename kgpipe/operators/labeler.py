@@ -183,6 +183,24 @@ def _label_core(texts: pd.Series, gaz: dict[int, dict[str, int]],
     pad_mask = np.arange(lmax)[None, :] >= row_lengths[:, None]
     em_pad[pad_mask] = np.array([0.0] + [NEG] * (N_TAGS - 1), dtype=np.float32)
 
+    tags_pad = viterbi_batch(em_pad, trans)
+
+    flat = tags_pad[row_id, pos_in_row].astype(np.int64)  # (n_tok,)
+    b_pos, s_char, e_char, cls_i = bio_flat_to_spans(
+        flat, starts, ends, row_id)
+    if not b_pos.size:
+        return (np.empty(0, np.int64),) * 4 + (n_rows,)
+    rows_of = sel[row_id[b_pos]]  # back to original row ordinals
+    return rows_of, s_char, e_char, cls_i, n_rows
+
+
+def viterbi_batch(em_pad: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Batched Viterbi decode: (R, L, T) emissions + (T, T) transitions ->
+    (R, L) int8 tags. The DP runs once per timestep over the whole batch
+    (no per-row Python). Padding rows must carry O-only emissions (the
+    caller sets them up) so they never affect real scores. Shared by the
+    gazetteer labeler and the trained perceptron (operators/train.py)."""
+    n_rows_sub, lmax, _ = em_pad.shape
     # start constraint: I-* cannot start a sequence
     start_pen = np.zeros(N_TAGS, dtype=np.float32)
     for c in ENT_CLASSES:
@@ -203,18 +221,27 @@ def _label_core(texts: pd.Series, gaz: dict[int, dict[str, int]],
     for t in range(lmax - 1, 0, -1):
         tags_pad[:, t - 1] = np.take_along_axis(
             back[:, t, :], tags_pad[:, t, None].astype(np.int64), axis=1)[:, 0]
+    return tags_pad
 
-    # --- contiguous B/I runs -> char spans, vectorized ---------------------
-    # BIO transitions guarantee: I-c only follows B-c/I-c and never starts a
-    # row, so every span is exactly a B token plus its following same-class
-    # I run. Find B positions and run ends with array ops; Python touches
-    # only the per-span tuples (≈1-2 per turn, not per token).
-    flat = tags_pad[row_id, pos_in_row].astype(np.int64)  # (n_tok,)
+
+def bio_flat_to_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                      row_id: np.ndarray):
+    """Contiguous B/I runs -> char spans, vectorized.
+
+    BIO transitions guarantee: I-c only follows B-c/I-c and never starts a
+    row, so every span is exactly a B token plus its following same-class
+    I run. Find B positions and run ends with array ops; Python touches
+    only the per-span tuples (≈1-2 per turn, not per token).
+
+    Returns ``(b_pos, s_char, e_char, cls_i)`` where ``b_pos`` indexes the
+    flat token arrays (callers map to rows via ``row_id[b_pos]``).
+    """
+    n_tok = flat.size
     is_b = flat % 2 == 1  # B tags sit at odd indices
     is_i = (flat > 0) & ~is_b
     b_pos = np.flatnonzero(is_b)
     if not b_pos.size:
-        return (np.empty(0, np.int64),) * 4 + (n_rows,)
+        return (np.empty(0, np.int64),) * 4
     # end of each span: last index of the consecutive-I run after its B
     idx = np.arange(n_tok)
     last_non_i = np.maximum.accumulate(np.where(~is_i, idx, -1))
@@ -233,8 +260,7 @@ def _label_core(texts: pd.Series, gaz: dict[int, dict[str, int]],
     cls_i = (flat[b_pos] - 1) // 2
     s_char = starts[b_pos].astype(np.int64)
     e_char = ends[end_idx].astype(np.int64)
-    rows_of = sel[row_id[b_pos]]  # back to original row ordinals
-    return rows_of, s_char, e_char, cls_i, n_rows
+    return b_pos, s_char, e_char, cls_i
 
 
 def label_texts(texts: pd.Series, gaz: dict[int, dict[str, int]],

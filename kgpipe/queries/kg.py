@@ -72,6 +72,43 @@ def kg_mentions_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_span_eval_per_class")
+def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity-class span-level P/R of the TRAINED labeler (averaged
+    structured perceptron, operators/train.py) against the dictionary
+    auto-annotations, on the fixture corpus. Rows-only in the driver check
+    (model inference is not SQL-expressible); the >=0.95 bar itself is
+    pinned by tests/test_train.py."""
+    import os
+
+    import pandas as pd
+
+    from kgpipe.operators.evaluate import per_class_span_eval
+    from kgpipe.operators.labeler import label_transcripts
+    from kgpipe.operators.mentions import extract_mentions
+    from kgpipe.operators.train import fit_perceptron, label_transcripts_trained
+    from kgpipe.pipeline import read_transcripts
+
+    fixture = materialize(_scale_for(sf_dir))
+    cd = pd.read_parquet(os.path.join(fixture, "candidate_dict.parquet"))
+    tpath = os.path.join(fixture, "transcripts.parquet")
+    t = read_transcripts(spark, tpath)
+    # fit driver-side on a bounded sample (training cost must not grow with
+    # corpus size); weights broadcast for cluster-wide inference
+    sample = pd.read_parquet(tpath, columns=["text"]).head(2000)
+    key = (id(spark), _scale_for(sf_dir), "model")
+    if key not in _CACHE:
+        _CACHE[key] = fit_perceptron(sample["text"], cd)
+    model = _CACHE[key]
+    pred_m = extract_mentions(label_transcripts_trained(spark, t, model, cd))
+    gold_m = extract_mentions(label_transcripts(spark, t, cd))
+    return per_class_span_eval(pred_m, gold_m).select(
+        "ent_type", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 @register("kg_eval_metrics")
 def kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgpipe.operators.evaluate import evaluate_triples

@@ -1,0 +1,98 @@
+"""Trained-labeler gates (SURVEY.md §2C steps 3-5): the averaged structured
+perceptron must reproduce the dictionary auto-annotations on HELD-OUT
+conversations at span-level P/R >= 0.95 — with every weight learned, none
+hand-set — and slot into the pipeline as a drop-in labeler."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgpipe.operators.labeler import build_gazetteer, build_transitions, label_texts
+from kgpipe.operators.train import (
+    decode_spans,
+    fit_perceptron,
+    label_transcripts_trained,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from kgpipe.fixtures.generator import materialize
+
+    fx = materialize("sf0.001")
+    t = pd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+    # held-out split by conversation: ~2/3 train, 1/3 test
+    conv_ord = t["conv_id"].str.removeprefix("conv").astype(int)
+    train = t[conv_ord % 3 != 0].reset_index(drop=True)
+    test = t[conv_ord % 3 == 0].reset_index(drop=True)
+    assert len(train) and len(test)
+    return train, test, cd
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    train, _test, cd = corpus
+    m = fit_perceptron(train["text"], cd)
+    return m
+
+
+def _span_sets(texts, spans_series):
+    out = set()
+    for i, spans in enumerate(spans_series):
+        for (s, e, cls, _sc) in spans:
+            out.add((i, s, e, cls))
+    return out
+
+
+def test_training_converges(model):
+    assert model.train_token_acc >= 0.999, model
+    assert model.epochs_run <= 60
+
+
+def test_heldout_span_pr_at_least_95(corpus, model):
+    _train, test, cd = corpus
+    gaz = build_gazetteer(cd)
+    silver = _span_sets(test["text"],
+                        label_texts(test["text"], gaz, build_transitions()))
+    predicted = _span_sets(test["text"], decode_spans(test["text"], model, gaz))
+    assert silver, "held-out split must contain mentions"
+    tp = len(silver & predicted)
+    precision = tp / len(predicted) if predicted else 0.0
+    recall = tp / len(silver) if silver else 0.0
+    assert precision >= 0.95, (precision, recall)
+    assert recall >= 0.95, (precision, recall)
+
+
+def test_learned_weights_not_handset(model):
+    # the model must have actually learned: nonzero spread across many
+    # hashed features, and BIO-invalid transitions still impossible
+    assert (np.abs(model.W) > 0).sum() > 100
+    masked = model.decode_trans()
+    from kgpipe.operators.labeler import NEG
+    from kgpipe.schemas import ENT_CLASSES
+
+    assert masked[0, 2] <= NEG  # O -> I-PER impossible
+    assert len(ENT_CLASSES) == 4
+
+
+def test_trained_labeler_drops_into_pipeline(spark, corpus, model):
+    from kgpipe.operators.evaluate import per_class_span_eval
+    from kgpipe.operators.labeler import label_transcripts
+    from kgpipe.operators.mentions import extract_mentions
+
+    _train, test, cd = corpus
+    sdf = spark.createDataFrame(test)
+    pred_m = extract_mentions(label_transcripts_trained(spark, sdf, model, cd))
+    gold_m = extract_mentions(label_transcripts(spark, sdf, cd))
+    report = per_class_span_eval(pred_m, gold_m).toPandas()
+    assert set(report["ent_type"]) >= {"PER", "ORG"}
+    micro_tp = report["tp"].sum()
+    micro_fp = report["fp"].sum()
+    micro_fn = report["fn"].sum()
+    assert micro_tp / (micro_tp + micro_fp) >= 0.95, report
+    assert micro_tp / (micro_tp + micro_fn) >= 0.95, report
