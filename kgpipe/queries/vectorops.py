@@ -121,20 +121,31 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign-LSH bucket: parity pattern of 8 fixed, spread dimensions
 _LSH_DIMS = [1, 9, 17, 25, 33, 41, 49, 57]  # 1-indexed
 
+# multi-table sign-LSH: 3 tables over DISJOINT dimension sets. One 8-bit
+# table keeps only ~N/256 of the corpus per bucket and misses any neighbor
+# that differs in a single signed dimension; a candidate survives if it
+# collides in ANY table, so miss probability multiplies across tables
+# (recall control — add tables to raise recall, bits to cut candidates).
+_LSH_TABLES = [
+    [1, 9, 17, 25, 33, 41, 49, 57],
+    [2, 10, 18, 26, 34, 42, 50, 58],
+    [5, 13, 21, 29, 37, 45, 53, 61],
+]
 
-def _bucket_spark(emb: Column) -> Column:
+
+def _bucket_spark(emb: Column, dims: list[int] | None = None) -> Column:
     bucket = F.lit(0)
-    for i, d in enumerate(_LSH_DIMS):
+    for i, d in enumerate(dims or _LSH_DIMS):
         bucket = bucket + F.when(
             F.element_at(emb, d) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return bucket.cast("int")
 
 
-def _bucket_sql(alias: str) -> str:
+def _bucket_sql(alias: str, dims: list[int] | None = None) -> str:
     parts = [
         f"(CASE WHEN {alias}.embedding[{d}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i, d in enumerate(_LSH_DIMS)
+        for i, d in enumerate(dims or _LSH_DIMS)
     ]
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
@@ -172,6 +183,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+_MT_MATCH = " OR ".join(
+    f"{_bucket_sql('q', dims)} = {_bucket_sql('v', dims)}"
+    for dims in _LSH_TABLES
+)
+
+
+@register(
+    "ann_multitable_topk",
+    oracle=f"""
+    WITH cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
+      JOIN embeddings v
+        ON ({_MT_MATCH}) AND v.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT c.query_id, c.vec_id,
+             {_COS_SQL} AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings v ON v.vec_id = c.vec_id) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: candidate generation over 3 disjoint-dim
+    hash tables (union of bucket collisions), then exact-cosine re-rank of
+    the deduped candidate set — the 100-TB-credible shape:
+
+    * candidate stage touches only a NARROW (vec_id, bucket x3) projection —
+      the 64-float vectors never enter the 3-way union;
+    * per table the probe set is broadcast, so candidate generation is
+      shuffle-free map-side joins over the corpus scan;
+    * only the surviving candidate ids shuffle (one distinct), and only
+      their vectors are re-read for the exact re-rank — at scale that is
+      |candidates| vector fetches instead of |corpus| dot products.
+
+    Recall vs cosine_topk_bruteforce is pinned >= 0.9 by
+    tests/test_vectorops.py; single-table ann_lsh_topk stays as the
+    cheaper/lower-recall variant.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    narrow = e.select(
+        "vec_id",
+        *[
+            _bucket_spark(F.col("embedding"), dims).alias(f"b{t}")
+            for t, dims in enumerate(_LSH_TABLES)
+        ],
+    )
+    qn = narrow.filter(F.col("vec_id") < N_QUERY)
+    cands = None
+    for t in range(len(_LSH_TABLES)):
+        probe = qn.select(
+            F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("qb")
+        )
+        c = (
+            narrow.join(F.broadcast(probe), F.col(f"b{t}") == F.col("qb"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+
+    q_emb = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    j = (
+        cands.join(e, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
