@@ -57,7 +57,15 @@ BUCKET_COL = "_ckpt_bucket"
 
 
 def input_fingerprint(paths: list[str], params: dict | None = None) -> str:
-    """Stable fingerprint of input files (name+size) and stage params."""
+    """Stable fingerprint of input files (name + size + mtime_ns) and stage
+    params. mtime_ns matters: an in-place edit that happens to preserve
+    file size must still invalidate downstream checkpoints ("stale results
+    can never leak")."""
+
+    def entry(fp: str, rel: str) -> tuple:
+        st = os.stat(fp)
+        return (rel, st.st_size, st.st_mtime_ns)
+
     entries = []
     for p in sorted(paths):
         if os.path.isdir(p):
@@ -66,9 +74,9 @@ def input_fingerprint(paths: list[str], params: dict | None = None) -> str:
                     if fn.startswith(("_", ".")):
                         continue
                     fp = os.path.join(root, fn)
-                    entries.append((os.path.relpath(fp, p), os.path.getsize(fp)))
+                    entries.append(entry(fp, os.path.relpath(fp, p)))
         elif os.path.exists(p):
-            entries.append((os.path.basename(p), os.path.getsize(p)))
+            entries.append(entry(p, os.path.basename(p)))
     key = json.dumps({"files": entries, "params": params or {}}, sort_keys=True)
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
@@ -203,9 +211,14 @@ class CheckpointedRun:
                 })
             self._append_manifest(name, manifest_rows)
             done.update({r["bucket"]: r for r in manifest_rows})
+            # persist the output schema: if every bucket yields zero rows,
+            # no parquet file exists to infer from on resume
+            with open(os.path.join(self.run_dir, name, "_schema.json"),
+                      "w") as f:
+                f.write(out.drop(BUCKET_COL).schema.json())
 
         wall_ms = int((time.time() - t0) * 1000)
-        result = self.spark.read.parquet(data_dir).drop(BUCKET_COL)
+        result = self._read_stage_output(name, data_dir)
         bucket_rows = sorted((r["rows_out"] for r in done.values()), reverse=True)
         nonzero = [r for r in bucket_rows if r > 0] or [0]
         self.metrics[name] = {
@@ -224,6 +237,24 @@ class CheckpointedRun:
             rows_out=sum(bucket_rows),
             wall_ms=wall_ms,
         )
+
+    def _read_stage_output(self, name: str, data_dir: str) -> DataFrame:
+        """Read a stage's parquet output; an all-empty stage (zero rows in
+        every bucket -> no parquet files on disk) returns an empty DataFrame
+        built from the recorded output schema instead of failing with
+        'unable to infer schema'."""
+        import glob as _glob
+
+        from pyspark.sql import types as _T
+
+        files = _glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                           recursive=True)
+        if files:
+            return self.spark.read.parquet(data_dir).drop(BUCKET_COL)
+        schema_path = os.path.join(self.run_dir, name, "_schema.json")
+        with open(schema_path) as f:
+            schema = _T.StructType.fromJson(json.loads(f.read()))
+        return self.spark.createDataFrame([], schema)
 
     def write_metrics(self) -> str:
         path = os.path.join(self.run_dir, "metrics.json")

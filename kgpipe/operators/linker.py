@@ -35,9 +35,14 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1,
     (they carry no linkable entity). Class must agree between the labeler's
     span type and the dictionary entry.
 
-    ``ranked=False`` skips the top-k ranking window (for streaming inputs,
-    where ranking windows are unsupported — the caller must pass a
-    dictionary already deduped to one candidate per (alias, class)).
+    ``ranked=False`` skips the top-k ranking window on the MENTIONS side
+    (for streaming inputs, where ranking windows are unsupported). The
+    dictionary side is deduped here to one candidate per (alias, class)
+    with the same total order as the ranking window — callers passing an
+    already-top1 dictionary pay nothing extra (the window runs over the
+    broadcast-sized dim, not the fact side, and is legal on the static side
+    of a stream-static join), and a non-deduped dictionary can no longer
+    silently emit duplicate top-rank links.
     """
     cand = dict_df.select(
         F.col("alias"),
@@ -45,6 +50,12 @@ def link_entities(mentions: DataFrame, dict_df: DataFrame, k: int = 1,
         F.col("prior").cast("float").alias("prior"),
         F.col("ent_class"),
     )
+    if not ranked:
+        dw = Window.partitionBy("alias", "ent_class").orderBy(
+            F.col("prior").desc(), F.col("entity_id").asc()
+        )
+        cand = (cand.withColumn("_r", F.row_number().over(dw))
+                .filter(F.col("_r") == 1).drop("_r"))
     m = mentions.withColumn("norm_surface", norm_surface(F.col("surface")))
     j = m.join(
         F.broadcast(cand),

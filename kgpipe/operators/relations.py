@@ -96,14 +96,19 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
         # the LAST mention of the previous chunk (one summary row per
         # (conv, chunk) — a tiny shuffle). Only the cross-turn case can
         # span a boundary, so prev_end needs no repair.
+        # ONE max_by over a (turn, ent) struct: taking turn and entity via
+        # two separate max_by calls could pair them from different rows on
+        # an ordering tie (unreachable today — one linked row per span —
+        # but load-bearing if upstream ever links k>1)
         summary = (base.groupBy("conv_id", "_chunk").agg(
-            F.max_by("turn_idx",
+            F.max_by(F.struct(F.col("turn_idx").alias("b_turn"),
+                              F.col("entity_id").alias("b_ent")),
                      F.struct("turn_idx", "span_start", "span_end"))
-             .alias("b_turn"),
-            F.max_by("entity_id",
-                     F.struct("turn_idx", "span_start", "span_end"))
-             .alias("b_ent"))
-            .withColumn("_chunk", F.col("_chunk") + 1))
+             .alias("_b"))
+            .select("conv_id",
+                    (F.col("_chunk") + 1).alias("_chunk"),
+                    F.col("_b.b_turn").alias("b_turn"),
+                    F.col("_b.b_ent").alias("b_ent")))
         m = (m.join(summary, ["conv_id", "_chunk"], "left")
              .withColumn("prev_turn",
                          F.coalesce("prev_turn", "b_turn"))

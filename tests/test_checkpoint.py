@@ -100,3 +100,29 @@ def test_changed_input_invalidates(spark, fixture_dir, tmp_path_factory, tmp_pat
     assert {r.conv_id for r in got} <= set(keep)
     m = out["metrics"]["linked"]
     assert m["buckets_computed"] == 32  # full invalidation, nothing stale
+
+
+def test_all_empty_stage_returns_empty_df(spark, fixture_dir, tmp_path_factory):
+    """A stage whose every bucket produces zero rows writes no parquet
+    files; reading it back must yield an empty DataFrame with the recorded
+    schema, not an 'unable to infer schema' failure — and the same must
+    hold on resume."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.operators.checkpoint import CheckpointedRun
+    from kgpipe.pipeline import read_transcripts
+
+    t = read_transcripts(
+        spark, os.path.join(fixture_dir, "transcripts.parquet"))
+    run_dir = str(tmp_path_factory.mktemp("ckpt-empty"))
+
+    def empty_fn(df):
+        return df.filter(F.lit(False)).select("conv_id", "turn_idx", "text")
+
+    for attempt in range(2):  # fresh run, then resume from manifests
+        run = CheckpointedRun(spark, run_dir)
+        s = run.stage("nothing", t, empty_fn, n_buckets=4, fingerprint="fp0")
+        assert s.df.count() == 0
+        assert set(s.df.columns) == {"conv_id", "turn_idx", "text"}
+        if attempt == 1:
+            assert s.computed_buckets == []  # resume skipped all buckets

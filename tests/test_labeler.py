@@ -57,3 +57,35 @@ def test_whitespace_noise():
 
 def test_empty_batch():
     assert list(_spans(["", None])) == [[], []]
+
+
+def test_packed_path_equals_direct_udf_path(spark, unit_fixture_dir):
+    """label_transcripts ships spans as packed strings rebuilt JVM-side;
+    this must equal the direct SPANS_ARRAY UDF row-for-row (the docstring
+    claims it — pin it, don't imply it via e2e P/R)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kgpipe.operators.labeler import label_transcripts, make_labeler_udf
+    from kgpipe.pipeline import read_transcripts
+
+    t = read_transcripts(
+        spark, os.path.join(unit_fixture_dir, "transcripts.parquet"))
+    cd = pd.read_parquet(
+        os.path.join(unit_fixture_dir, "candidate_dict.parquet"))
+
+    packed = label_transcripts(spark, t, cd).select(
+        "conv_id", "turn_idx", "spans")
+    direct_udf = make_labeler_udf(spark, cd, packed=False)
+    direct = t.select(
+        "conv_id", "turn_idx", direct_udf(F.col("text")).alias("spans"))
+
+    def rows(df):
+        return {
+            (r.conv_id, r.turn_idx,
+             tuple((s.start, s.end, s.ent_type, s.score) for s in r.spans))
+            for r in df.collect()
+        }
+
+    assert rows(packed) == rows(direct)
