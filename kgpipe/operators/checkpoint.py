@@ -199,16 +199,23 @@ class CheckpointedRun:
                 .parquet(data_dir))
             # per-bucket lineage rows from parquet footers (driver-side)
             wall_ms = int((time.time() - t0) * 1000)
-            manifest_rows = []
+            bucket_rows_map = {}
             for b in todo:
                 bdir = os.path.join(data_dir, f"{BUCKET_COL}={b}")
                 rows = _parquet_rows(bdir) if os.path.isdir(bdir) else 0
+                bucket_rows_map[b] = rows
                 computed_rows += rows
-                manifest_rows.append({
-                    "stage": name, "bucket": b, "rows_out": rows,
-                    "wall_ms": wall_ms // max(1, len(todo)),
-                    "fingerprint": fingerprint, "status": "done",
-                })
+            # the buckets ran inside ONE Spark job, so per-bucket wall is
+            # not directly observable; attribute proportionally to rows_out
+            # so lineage shows time skew, not a uniform fiction (uniform
+            # fallback only when the whole stage emitted nothing)
+            total_rows = sum(bucket_rows_map.values())
+            manifest_rows = [{
+                "stage": name, "bucket": b, "rows_out": r,
+                "wall_ms": (wall_ms * r // total_rows if total_rows
+                            else wall_ms // max(1, len(todo))),
+                "fingerprint": fingerprint, "status": "done",
+            } for b, r in bucket_rows_map.items()]
             self._append_manifest(name, manifest_rows)
             done.update({r["bucket"]: r for r in manifest_rows})
             # persist the output schema: if every bucket yields zero rows,
