@@ -19,11 +19,29 @@ KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 def evaluate_triples(pred: DataFrame, gold: DataFrame,
                      keys: list[str] | None = None) -> dict[str, float]:
     keys = keys or KEY
-    p = pred.select(*keys).dropDuplicates()
-    g = gold.select(*keys).dropDuplicates()
-    tp = p.join(g, keys, "left_semi").count()
-    fp = p.join(g, keys, "left_anti").count()
-    fn = g.join(p, keys, "left_anti").count()
+    p = pred.select(*keys).dropDuplicates().withColumn("in_p", F.lit(1))
+    g = gold.select(*keys).dropDuplicates().withColumn("in_g", F.lit(1))
+    # ONE full-outer join + one agg instead of three separate
+    # semi/anti-join count() jobs (same rewrite as setops_customer_years:
+    # tp/fp/fn are presence-flag sums over a single shuffle)
+    row = (
+        p.join(g, keys, "full_outer")
+        .agg(
+            F.sum(F.when(F.col("in_p").isNotNull()
+                         & F.col("in_g").isNotNull(), 1).otherwise(0))
+            .alias("tp"),
+            F.sum(F.when(F.col("in_p").isNotNull()
+                         & F.col("in_g").isNull(), 1).otherwise(0))
+            .alias("fp"),
+            F.sum(F.when(F.col("in_p").isNull()
+                         & F.col("in_g").isNotNull(), 1).otherwise(0))
+            .alias("fn"),
+        )
+        .collect()[0]
+    )
+    tp = int(row["tp"] or 0)
+    fp = int(row["fp"] or 0)
+    fn = int(row["fn"] or 0)
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)
