@@ -62,9 +62,22 @@ def run_pipeline(
     window: int = 3,
     cc_algo: str = "two_phase",
     predicates=None,
+    labeler_model=None,
 ) -> dict[str, DataFrame]:
-    """Run all stages; returns the intermediate + final DataFrames (lazy)."""
-    labeled = label_transcripts(spark, transcripts, candidate_dict)
+    """Run all stages; returns the intermediate + final DataFrames (lazy).
+
+    ``labeler_model``: optional ``TrainedLabeler`` (operators/train.py) —
+    when given, labeling uses the learned perceptron weights instead of
+    the hand-weighted gazetteer decoder; every downstream stage is
+    identical (same spans schema).
+    """
+    if labeler_model is not None:
+        from kgpipe.operators.train import label_transcripts_trained
+
+        labeled = label_transcripts_trained(
+            spark, transcripts, labeler_model, candidate_dict)
+    else:
+        labeled = label_transcripts(spark, transcripts, candidate_dict)
     mentions = extract_mentions(labeled)
     dict_df = dict_to_df(spark, candidate_dict)
     # no persist anywhere: with the window-free top-1 linker and the
@@ -164,20 +177,36 @@ def run_pipeline_checkpointed(
 
 
 def run_from_dir(spark: SparkSession, fixture_dir: str,
-                 window: int = 3) -> dict[str, DataFrame]:
+                 window: int = 3, predicates=None,
+                 trained: bool = False,
+                 train_sample: int = 2000) -> dict[str, DataFrame]:
     """Run the pipeline over a fixture directory (transcripts.parquet +
     candidate_dict.parquet [+ gold_triples.parquet] [+ predicates.parquet:
-    a (phrase, pred) table overriding the default predicate config])."""
+    a (phrase, pred) table overriding the default predicate config]).
+
+    ``trained=True`` fits the structured perceptron on a bounded sample of
+    the input (driver-side, weights broadcast) and labels with it instead
+    of the hand-weighted gazetteer decoder.
+    """
     from kgpipe.predicates import load_predicates
 
     transcripts = read_transcripts(
         spark, os.path.join(fixture_dir, "transcripts.parquet"))
     candidate_dict = pd.read_parquet(
         os.path.join(fixture_dir, "candidate_dict.parquet"))
-    ppath = os.path.join(fixture_dir, "predicates.parquet")
-    predicates = load_predicates(ppath) if os.path.exists(ppath) else None
+    if predicates is None:
+        ppath = os.path.join(fixture_dir, "predicates.parquet")
+        predicates = load_predicates(ppath) if os.path.exists(ppath) else None
+    model = None
+    if trained:
+        from kgpipe.operators.train import fit_perceptron
+
+        sample = pd.read_parquet(
+            os.path.join(fixture_dir, "transcripts.parquet"),
+            columns=["text"]).head(train_sample)["text"]
+        model = fit_perceptron(sample, candidate_dict)
     out = run_pipeline(spark, transcripts, candidate_dict, window=window,
-                       predicates=predicates)
+                       predicates=predicates, labeler_model=model)
     gold_path = os.path.join(fixture_dir, "gold_triples.parquet")
     if os.path.exists(gold_path):
         out["gold"] = spark.read.parquet(gold_path)

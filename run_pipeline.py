@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--predicates", default=None,
                     help="parquet/CSV (phrase, pred) table overriding the "
                          "built-in predicate config (kgpipe.predicates)")
+    ap.add_argument("--trained-labeler", action="store_true",
+                    help="fit the structured perceptron on a sample of the "
+                         "input (driver-side) and label with the learned "
+                         "weights instead of the gazetteer decoder")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="A14 resumable mode: per-bucket lineage manifests under "
                          "this dir; re-running with the same dir resumes from "
@@ -59,22 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         gold_path = _os.path.join(args.input, "gold_triples.parquet")
         if _os.path.exists(gold_path):
             out["gold"] = spark.read.parquet(gold_path)
-    elif predicates is not None:
-        import pandas as _pd
-        from kgpipe.pipeline import run_pipeline, read_transcripts
-        import os as _os
-
-        transcripts = read_transcripts(
-            spark, _os.path.join(args.input, "transcripts.parquet"))
-        cd = _pd.read_parquet(
-            _os.path.join(args.input, "candidate_dict.parquet"))
-        out = run_pipeline(spark, transcripts, cd, window=args.window,
-                           predicates=predicates)
-        gold_path = _os.path.join(args.input, "gold_triples.parquet")
-        if _os.path.exists(gold_path):
-            out["gold"] = spark.read.parquet(gold_path)
     else:
-        out = run_from_dir(spark, args.input, window=args.window)
+        out = run_from_dir(spark, args.input, window=args.window,
+                           predicates=predicates,
+                           trained=args.trained_labeler)
     n = write_triples(out["triples"], args.output)
     wall = time.time() - t0
     report = {"triples": n, "wall_sec": round(wall, 2),

@@ -96,3 +96,27 @@ def test_trained_labeler_drops_into_pipeline(spark, corpus, model):
     micro_fn = report["fn"].sum()
     assert micro_tp / (micro_tp + micro_fp) >= 0.95, report
     assert micro_tp / (micro_tp + micro_fn) >= 0.95, report
+
+
+def test_full_pipeline_with_trained_labeler_hits_gold(spark):
+    """End-to-end: train on the unit fixture's dictionary annotations, run
+    the ENTIRE pipeline (trained labeling -> linking -> triples -> canon)
+    and score against planted gold — the trained path must reach the same
+    P/R >= 0.95 bar as the gazetteer path."""
+    import os
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.operators.evaluate import evaluate_triples
+    from kgpipe.operators.train import fit_perceptron
+    from kgpipe.pipeline import read_transcripts, run_pipeline
+
+    fx = materialize("unit")
+    t = read_transcripts(spark, os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+    texts = pd.read_parquet(
+        os.path.join(fx, "transcripts.parquet"), columns=["text"])["text"]
+    model = fit_perceptron(texts, cd)
+    out = run_pipeline(spark, t, cd, labeler_model=model)
+    gold = spark.read.parquet(os.path.join(fx, "gold_triples.parquet"))
+    m = evaluate_triples(out["triples"], gold)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
