@@ -84,7 +84,6 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kgpipe.operators.evaluate import per_class_span_eval
-    from kgpipe.operators.labeler import label_transcripts
     from kgpipe.operators.mentions import extract_mentions
     from kgpipe.operators.train import fit_perceptron, label_transcripts_trained
     from kgpipe.pipeline import read_transcripts
@@ -101,7 +100,10 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE[key] = fit_perceptron(sample["text"], cd)
     model = _CACHE[key]
     pred_m = extract_mentions(label_transcripts_trained(spark, t, model, cd))
-    gold_m = extract_mentions(label_transcripts(spark, t, cd))
+    # the silver side IS the pipeline's cached mentions (same fixture, same
+    # gazetteer labeler) — reuse it instead of a second labeling pass
+    _triples(spark, sf_dir)
+    gold_m = _CACHE[(id(spark), _scale_for(sf_dir), "mentions")]
     return per_class_span_eval(pred_m, gold_m).select(
         "ent_type", "tp", "fp", "fn",
         F.round("precision", 6).alias("precision"),
