@@ -216,16 +216,20 @@ class CheckpointedRun:
                             else wall_ms // max(1, len(todo))),
                 "fingerprint": fingerprint, "status": "done",
             } for b, r in bucket_rows_map.items()]
-            self._append_manifest(name, manifest_rows)
-            done.update({r["bucket"]: r for r in manifest_rows})
-            # persist the output schema: if every bucket yields zero rows,
-            # no parquet file exists to infer from on resume
+            # persist the output schema BEFORE the manifest commit: if every
+            # bucket yields zero rows there is no parquet file to infer
+            # from on resume, and writing it after the fsynced manifest
+            # would leave a crash window where buckets are 'done' but the
+            # schema needed to read the (empty) stage never lands
             with open(os.path.join(self.run_dir, name, "_schema.json"),
                       "w") as f:
                 f.write(out.drop(BUCKET_COL).schema.json())
+            self._append_manifest(name, manifest_rows)
+            done.update({r["bucket"]: r for r in manifest_rows})
 
         wall_ms = int((time.time() - t0) * 1000)
-        result = self._read_stage_output(name, data_dir)
+        manifest_rows_out = sum(r.get("rows_out", 0) for r in done.values())
+        result = self._read_stage_output(name, data_dir, manifest_rows_out)
         bucket_rows = sorted((r["rows_out"] for r in done.values()), reverse=True)
         nonzero = [r for r in bucket_rows if r > 0] or [0]
         self.metrics[name] = {
@@ -245,11 +249,14 @@ class CheckpointedRun:
             wall_ms=wall_ms,
         )
 
-    def _read_stage_output(self, name: str, data_dir: str) -> DataFrame:
+    def _read_stage_output(self, name: str, data_dir: str,
+                           manifest_rows_out: int) -> DataFrame:
         """Read a stage's parquet output; an all-empty stage (zero rows in
         every bucket -> no parquet files on disk) returns an empty DataFrame
         built from the recorded output schema instead of failing with
-        'unable to infer schema'."""
+        'unable to infer schema'. If the manifest says rows exist but no
+        files do, the checkpoint data was lost out-of-band — fail loudly
+        rather than silently resuming from a fabricated empty stage."""
         import glob as _glob
 
         from pyspark.sql import types as _T
@@ -258,6 +265,12 @@ class CheckpointedRun:
                            recursive=True)
         if files:
             return self.spark.read.parquet(data_dir).drop(BUCKET_COL)
+        if manifest_rows_out > 0:
+            raise RuntimeError(
+                f"stage {name!r}: manifest records {manifest_rows_out} rows "
+                f"but {data_dir} holds no parquet files — checkpoint data "
+                f"was deleted or moved; remove the run_dir stage to force "
+                f"recomputation")
         schema_path = os.path.join(self.run_dir, name, "_schema.json")
         with open(schema_path) as f:
             schema = _T.StructType.fromJson(json.loads(f.read()))

@@ -53,17 +53,16 @@ def evaluate_triples(pred: DataFrame, gold: DataFrame,
 SPAN_KEY = ["conv_id", "turn_idx", "span_start", "span_end", "ent_type"]
 
 
-def per_class_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """Per-entity-class SPAN-level P/R (the reference's per-label tag
-    report, SURVEY.md §2C step 7): exact-span match on
-    (conv, turn, start, end, class). ``pred``/``gold`` are mentions-shaped
-    DataFrames (extract_mentions output or any table carrying SPAN_KEY).
-    One full-outer join + one agg — no driver collect."""
-    p = pred.select(*SPAN_KEY).dropDuplicates().withColumn("in_p", F.lit(1))
-    g = gold.select(*SPAN_KEY).dropDuplicates().withColumn("in_g", F.lit(1))
-    full = p.join(g, SPAN_KEY, "full")
+def _flag_eval(pred: DataFrame, gold: DataFrame, keys: list[str],
+               group_col: str) -> DataFrame:
+    """Shared per-group P/R template: full-outer join of the two deduped
+    keysets with presence flags, tp/fp/fn as flag sums per ``group_col``.
+    One shuffle, no driver collect."""
+    p = pred.select(*keys).dropDuplicates().withColumn("in_p", F.lit(1))
+    g = gold.select(*keys).dropDuplicates().withColumn("in_g", F.lit(1))
     return (
-        full.groupBy("ent_type")
+        p.join(g, keys, "full")
+        .groupBy(group_col)
         .agg(
             F.sum(F.when(F.col("in_p").isNotNull()
                          & F.col("in_g").isNotNull(), 1).otherwise(0))
@@ -80,22 +79,15 @@ def per_class_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def per_class_span_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-entity-class SPAN-level P/R (the reference's per-label tag
+    report, SURVEY.md §2C step 7): exact-span match on
+    (conv, turn, start, end, class). ``pred``/``gold`` are mentions-shaped
+    DataFrames (extract_mentions output or any table carrying SPAN_KEY)."""
+    return _flag_eval(pred, gold, SPAN_KEY, "ent_type")
+
+
 def per_predicate_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Per-predicate P/R as a DataFrame (mirrors the reference's per-label
     report)."""
-    p = pred.select(*KEY).dropDuplicates().withColumn("in_pred", F.lit(1))
-    g = gold.select(*KEY).dropDuplicates().withColumn("in_gold", F.lit(1))
-    full = p.join(g, KEY, "full")
-    return (
-        full.groupBy("pred")
-        .agg(
-            F.sum(F.when(F.col("in_pred").isNotNull()
-                         & F.col("in_gold").isNotNull(), 1).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("in_pred").isNotNull()
-                         & F.col("in_gold").isNull(), 1).otherwise(0)).alias("fp"),
-            F.sum(F.when(F.col("in_pred").isNull()
-                         & F.col("in_gold").isNotNull(), 1).otherwise(0)).alias("fn"),
-        )
-        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
-        .withColumn("recall", F.col("tp") / (F.col("tp") + F.col("fn")))
-    )
+    return _flag_eval(pred, gold, KEY, "pred")

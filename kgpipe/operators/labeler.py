@@ -186,8 +186,7 @@ def _label_core(texts: pd.Series, gaz: dict[int, dict[str, int]],
     tags_pad = viterbi_batch(em_pad, trans)
 
     flat = tags_pad[row_id, pos_in_row].astype(np.int64)  # (n_tok,)
-    b_pos, s_char, e_char, cls_i = bio_flat_to_spans(
-        flat, starts, ends, row_id)
+    b_pos, s_char, e_char, cls_i = bio_flat_to_spans(flat, starts, ends)
     if not b_pos.size:
         return (np.empty(0, np.int64),) * 4 + (n_rows,)
     rows_of = sel[row_id[b_pos]]  # back to original row ordinals
@@ -224,8 +223,8 @@ def viterbi_batch(em_pad: np.ndarray, trans: np.ndarray) -> np.ndarray:
     return tags_pad
 
 
-def bio_flat_to_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-                      row_id: np.ndarray):
+def bio_flat_to_spans(flat: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray):
     """Contiguous B/I runs -> char spans, vectorized.
 
     BIO transitions guarantee: I-c only follows B-c/I-c and never starts a
@@ -234,7 +233,9 @@ def bio_flat_to_spans(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     only the per-span tuples (≈1-2 per turn, not per token).
 
     Returns ``(b_pos, s_char, e_char, cls_i)`` where ``b_pos`` indexes the
-    flat token arrays (callers map to rows via ``row_id[b_pos]``).
+    flat token arrays (callers map to rows via their own ``row_id[b_pos]``;
+    spans cannot cross rows because the Viterbi start constraint bans I-*
+    at position 0 of every row).
     """
     n_tok = flat.size
     is_b = flat % 2 == 1  # B tags sit at odd indices

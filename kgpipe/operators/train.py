@@ -223,6 +223,16 @@ def _pad(em, row_id, row_lengths):
     return em_pad, pos_in_row
 
 
+def sample_texts(parquet_path: str, n: int) -> pd.Series:
+    """First ``n`` text values WITHOUT loading the whole column: pyarrow
+    dataset head() reads only the fragments it needs (a full-column pandas
+    read of a 10^8-turn table would OOM the driver for a 2000-row sample)."""
+    import pyarrow.dataset as ds
+
+    head = ds.dataset(parquet_path).head(n, columns=["text"])
+    return head.column("text").to_pandas()
+
+
 def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
                    epochs: int = 60, D: int = 1 << 18,
                    lr: float = 1.0) -> TrainedLabeler:
@@ -314,7 +324,7 @@ def decode_spans(texts: pd.Series, model: TrainedLabeler,
     tags_pad = viterbi_batch(em_pad, model.decode_trans())
     flat = tags_pad[rid, pos_in_row].astype(np.int64)
     b_pos, s_char, e_char, cls_i = bio_flat_to_spans(
-        flat, np.asarray(starts), np.asarray(ends), row_id)
+        flat, np.asarray(starts), np.asarray(ends))
     for bp, s, e, c in zip(b_pos.tolist(), s_char.tolist(),
                            e_char.tolist(), cls_i.tolist()):
         out[keep[rid[bp]]].append((int(s), int(e), ENT_CLASSES[c], 1.0))

@@ -114,6 +114,7 @@ def run_pipeline_checkpointed(
     n_buckets: int = 32,
     cc_algo: str = "two_phase",
     predicates=None,
+    labeler_model=None,
 ) -> dict[str, object]:
     """A14 resumable run: three conv_id-bucketed stages with per-bucket
     lineage manifests (operators/checkpoint.py). Re-invoking with the same
@@ -144,7 +145,15 @@ def run_pipeline_checkpointed(
     # raw_triples checkpoint (and transitively everything downstream)
     pred_fp = hashlib.sha256(
         repr(sorted(pred_map.items())).encode()).hexdigest()[:8]
-    fp1 = input_fingerprint([tpath, dpath], {"stage": "linked", "v": 1})
+    # the labeler weights are stage-1 config: a different trained model (or
+    # switching gazetteer<->trained) must invalidate the linked checkpoint
+    model_fp = (
+        hashlib.sha256(labeler_model.W.tobytes()
+                       + labeler_model.trans.tobytes()).hexdigest()[:8]
+        if labeler_model is not None else "gazetteer"
+    )
+    fp1 = input_fingerprint(
+        [tpath, dpath], {"stage": "linked", "v": 1, "labeler": model_fp})
     fp2 = hashlib.sha256(
         f"{fp1}|raw_triples|w={window}|p={pred_fp}|v=1".encode()
     ).hexdigest()[:16]
@@ -155,11 +164,18 @@ def run_pipeline_checkpointed(
     from kgpipe.operators.linker import top1_dict
 
     top1_df = dict_to_df(spark, top1_dict(candidate_dict))
+    def _label(df: DataFrame) -> DataFrame:
+        if labeler_model is not None:
+            from kgpipe.operators.train import label_transcripts_trained
+
+            return label_transcripts_trained(
+                spark, df, labeler_model, candidate_dict)
+        return label_transcripts(spark, df, candidate_dict)
+
     s1 = run.stage(
         "linked", transcripts,
         lambda df: link_entities(
-            extract_mentions(label_transcripts(spark, df, candidate_dict)),
-            top1_df, k=1, ranked=False),
+            extract_mentions(_label(df)), top1_df, k=1, ranked=False),
         n_buckets=n_buckets, fingerprint=fp1)
     s2 = run.stage(
         "raw_triples", s1.df,
@@ -199,12 +215,12 @@ def run_from_dir(spark: SparkSession, fixture_dir: str,
         predicates = load_predicates(ppath) if os.path.exists(ppath) else None
     model = None
     if trained:
-        from kgpipe.operators.train import fit_perceptron
+        from kgpipe.operators.train import fit_perceptron, sample_texts
 
-        sample = pd.read_parquet(
-            os.path.join(fixture_dir, "transcripts.parquet"),
-            columns=["text"]).head(train_sample)["text"]
-        model = fit_perceptron(sample, candidate_dict)
+        model = fit_perceptron(
+            sample_texts(os.path.join(fixture_dir, "transcripts.parquet"),
+                         train_sample),
+            candidate_dict)
     out = run_pipeline(spark, transcripts, candidate_dict, window=window,
                        predicates=predicates, labeler_model=model)
     gold_path = os.path.join(fixture_dir, "gold_triples.parquet")

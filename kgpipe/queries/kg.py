@@ -85,19 +85,22 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgpipe.operators.evaluate import per_class_span_eval
     from kgpipe.operators.mentions import extract_mentions
-    from kgpipe.operators.train import fit_perceptron, label_transcripts_trained
+    from kgpipe.operators.train import (
+        fit_perceptron,
+        label_transcripts_trained,
+        sample_texts,
+    )
     from kgpipe.pipeline import read_transcripts
 
     fixture = materialize(_scale_for(sf_dir))
     cd = pd.read_parquet(os.path.join(fixture, "candidate_dict.parquet"))
     tpath = os.path.join(fixture, "transcripts.parquet")
     t = read_transcripts(spark, tpath)
-    # fit driver-side on a bounded sample (training cost must not grow with
-    # corpus size); weights broadcast for cluster-wide inference
-    sample = pd.read_parquet(tpath, columns=["text"]).head(2000)
     key = (id(spark), _scale_for(sf_dir), "model")
     if key not in _CACHE:
-        _CACHE[key] = fit_perceptron(sample["text"], cd)
+        # fit driver-side on a bounded sample (training cost must not grow
+        # with corpus size); weights broadcast for cluster-wide inference
+        _CACHE[key] = fit_perceptron(sample_texts(tpath, 2000), cd)
     model = _CACHE[key]
     pred_m = extract_mentions(label_transcripts_trained(spark, t, model, cd))
     # the silver side IS the pipeline's cached mentions (same fixture, same

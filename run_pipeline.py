@@ -42,31 +42,59 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from kgpipe.operators.evaluate import evaluate_triples
-    from kgpipe.pipeline import run_from_dir
     from kgpipe.session import get_spark
     from kgpipe.sources.storage import write_triples
 
+    import os
+
     spark = get_spark("kgpipe-run", master=args.master)
     t0 = time.time()
+    # resolve predicate table + labeler model ONCE so both execution paths
+    # (plain and checkpointed) see identical config — the checkpointed
+    # branch silently ignoring --trained-labeler / predicates.parquet was
+    # a silent-wrong-results bug
+    from kgpipe.predicates import load_predicates
+
     predicates = None
     if args.predicates:
-        from kgpipe.predicates import load_predicates
-
         predicates = load_predicates(args.predicates)
+    elif os.path.exists(os.path.join(args.input, "predicates.parquet")):
+        predicates = load_predicates(
+            os.path.join(args.input, "predicates.parquet"))
+    model = None
+    if args.trained_labeler:
+        import pandas as pd
+
+        from kgpipe.operators.train import fit_perceptron, sample_texts
+
+        cd = pd.read_parquet(
+            os.path.join(args.input, "candidate_dict.parquet"))
+        model = fit_perceptron(
+            sample_texts(os.path.join(args.input, "transcripts.parquet"),
+                         2000), cd)
     if args.checkpoint_dir:
         from kgpipe.pipeline import run_pipeline_checkpointed
 
         out = run_pipeline_checkpointed(
             spark, args.input, args.checkpoint_dir, window=args.window,
-            cc_algo=args.cc_algo, predicates=predicates)
-        import os as _os
-        gold_path = _os.path.join(args.input, "gold_triples.parquet")
-        if _os.path.exists(gold_path):
+            cc_algo=args.cc_algo, predicates=predicates,
+            labeler_model=model)
+        gold_path = os.path.join(args.input, "gold_triples.parquet")
+        if os.path.exists(gold_path):
             out["gold"] = spark.read.parquet(gold_path)
     else:
-        out = run_from_dir(spark, args.input, window=args.window,
-                           predicates=predicates,
-                           trained=args.trained_labeler)
+        from kgpipe.pipeline import run_pipeline, read_transcripts
+        import pandas as pd
+
+        transcripts = read_transcripts(
+            spark, os.path.join(args.input, "transcripts.parquet"))
+        cd = pd.read_parquet(
+            os.path.join(args.input, "candidate_dict.parquet"))
+        out = run_pipeline(spark, transcripts, cd, window=args.window,
+                           predicates=predicates, labeler_model=model)
+        gold_path = os.path.join(args.input, "gold_triples.parquet")
+        if os.path.exists(gold_path):
+            out["gold"] = spark.read.parquet(gold_path)
     n = write_triples(out["triples"], args.output)
     wall = time.time() - t0
     report = {"triples": n, "wall_sec": round(wall, 2),

@@ -126,3 +126,45 @@ def test_all_empty_stage_returns_empty_df(spark, fixture_dir, tmp_path_factory):
         assert set(s.df.columns) == {"conv_id", "turn_idx", "text"}
         if attempt == 1:
             assert s.computed_buckets == []  # resume skipped all buckets
+
+
+def test_checkpointed_trained_labeler_and_model_invalidation(
+        spark, fixture_dir, tmp_path_factory):
+    """--trained-labeler must work through the checkpointed path (round-2
+    review: the flag was silently ignored with --checkpoint-dir), and a
+    different labeler model must invalidate the linked checkpoint."""
+    import pandas as pd
+
+    from kgpipe.operators.evaluate import evaluate_triples
+    from kgpipe.operators.train import fit_perceptron, sample_texts
+
+    cd = pd.read_parquet(os.path.join(fixture_dir, "candidate_dict.parquet"))
+    model = fit_perceptron(
+        sample_texts(os.path.join(fixture_dir, "transcripts.parquet"), 2000),
+        cd)
+    run_dir = str(tmp_path_factory.mktemp("ckpt-trained"))
+    out = run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, labeler_model=model)
+    gold = spark.read.parquet(
+        os.path.join(fixture_dir, "gold_triples.parquet"))
+    m = evaluate_triples(out["triples"], gold)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+    # switching to the gazetteer labeler must NOT reuse the trained-model
+    # checkpoint: the linked stage recomputes under a different fingerprint
+    out2 = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    assert out2["run"].metrics["linked"]["buckets_computed"] > 0
+
+
+def test_lost_checkpoint_data_fails_loudly(spark, fixture_dir,
+                                           tmp_path_factory):
+    """A manifest that records rows while the data dir holds no parquet
+    files is lost data — resume must raise, not fabricate an empty stage."""
+    import shutil
+
+    import pytest as _pytest
+
+    run_dir = str(tmp_path_factory.mktemp("ckpt-lost"))
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    shutil.rmtree(os.path.join(run_dir, "linked", "data"))
+    with _pytest.raises(RuntimeError, match="no parquet files"):
+        run_pipeline_checkpointed(spark, fixture_dir, run_dir)
