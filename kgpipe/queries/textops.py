@@ -550,3 +550,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % MINHASH_P
     )
     return d.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# canonical-document selection: after dedup finds groups, a training
+# pipeline keeps ONE representative per group — the highest-quality copy,
+# not an arbitrary one
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    SELECT text_md5, keep_id, n_copies FROM (
+      SELECT md5(text) AS text_md5,
+             doc_id AS keep_id,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ({",".join("'" + w + "'" for w in STOPWORDS)})))
+                        AS DOUBLE) / len(string_split(text, ' ')) DESC,
+                        doc_id ASC) AS rn
+      FROM {_DUP_CORPUS_SQL} corpus
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative per exact-duplicate group, chosen by quality
+    (stopword ratio as the proxy here) with doc_id as the total-order
+    tiebreak — the real keep-policy of a training-data dedup stage, vs.
+    dedup_exact's arbitrary min-id. One shuffle on md5(text); the quality
+    score is a narrow map computed before the shuffle, so the window ranks
+    precomputed scalars."""
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    quality = n_stop.cast("double") / F.size(toks)
+    scored = corpus.select(
+        F.md5("text").alias("text_md5"),
+        F.col("doc_id"),
+        quality.alias("q"),
+    )
+    w = Window.partitionBy("text_md5")
+    wr = Window.partitionBy("text_md5").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("text_md5", F.col("doc_id").alias("keep_id"), "n_copies")
+    )
