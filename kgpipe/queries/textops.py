@@ -601,3 +601,45 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("text_md5", F.col("doc_id").alias("keep_id"), "n_copies")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup CLUSTERS: LSH candidate pairs -> connected components ->
+# one cluster id per document — the stage between pair generation and
+# keep-one-per-cluster in a real dedup pipeline. Iterative CC is not
+# SQL-expressible, so the driver check is rows-only; the planted-pair
+# clustering invariant is pinned by tests/test_textops.py.
+
+
+@register("near_dup_clusters")
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, n_docs, min_doc, max_doc) per near-dup cluster.
+
+    Edges are the size-capped LSH candidate pairs; components computed by
+    the same O(log^2 n) two-phase CC operator canonicalization uses
+    (operators/canon.py — large-star/small-star, per-iteration
+    localCheckpoint). Singleton documents (no candidate edge) are excluded:
+    at scale the interesting output is the dup groups, not a row per
+    unique doc.
+    """
+    from kgpipe.operators.canon import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)  # (entity_id, canonical_id), non-roots
+    members = (
+        cc.select(F.col("entity_id").alias("doc"),
+                  F.col("canonical_id").alias("cluster_id"))
+        .unionByName(
+            cc.select(F.col("canonical_id").alias("doc"),
+                      F.col("canonical_id").alias("cluster_id")))
+        .distinct()
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.col("doc").cast("long")).alias("min_doc"),
+        F.max(F.col("doc").cast("long")).alias("max_doc"),
+    )
