@@ -228,8 +228,7 @@ class CheckpointedRun:
             done.update({r["bucket"]: r for r in manifest_rows})
 
         wall_ms = int((time.time() - t0) * 1000)
-        manifest_rows_out = sum(r.get("rows_out", 0) for r in done.values())
-        result = self._read_stage_output(name, data_dir, manifest_rows_out)
+        result = self._read_stage_output(name, data_dir, done)
         bucket_rows = sorted((r["rows_out"] for r in done.values()), reverse=True)
         nonzero = [r for r in bucket_rows if r > 0] or [0]
         self.metrics[name] = {
@@ -250,28 +249,44 @@ class CheckpointedRun:
         )
 
     def _read_stage_output(self, name: str, data_dir: str,
-                           manifest_rows_out: int) -> DataFrame:
-        """Read a stage's parquet output; an all-empty stage (zero rows in
-        every bucket -> no parquet files on disk) returns an empty DataFrame
-        built from the recorded output schema instead of failing with
-        'unable to infer schema'. If the manifest says rows exist but no
-        files do, the checkpoint data was lost out-of-band — fail loudly
-        rather than silently resuming from a fabricated empty stage."""
-        import glob as _glob
+                           done: dict[int, dict]) -> DataFrame:
+        """Read a stage's parquet output after validating EVERY manifest
+        bucket against the files on disk: for each 'done' bucket with
+        rows_out > 0, the bucket directory's parquet footers must sum to
+        exactly the recorded count. A missing or truncated bucket dir
+        (deleted out-of-band) therefore fails loudly instead of silently
+        returning a subset — the manifest is the source of truth, and a
+        stage-level 'some files exist' glob cannot vouch for per-bucket
+        completeness. Footer reads are driver-side metadata only (no Spark
+        job, ~ms per bucket).
 
+        An all-empty stage (zero rows in every bucket -> no parquet files
+        on disk) returns an empty DataFrame built from the recorded output
+        schema instead of failing with 'unable to infer schema'."""
         from pyspark.sql import types as _T
 
-        files = _glob.glob(os.path.join(data_dir, "**", "*.parquet"),
-                           recursive=True)
-        if files:
+        any_files = False
+        for b, row in sorted(done.items()):
+            expect = int(row.get("rows_out", 0))
+            bdir = os.path.join(data_dir, f"{BUCKET_COL}={b}")
+            actual = _parquet_rows(bdir) if os.path.isdir(bdir) else 0
+            if actual > 0:
+                any_files = True
+            if actual != expect:
+                raise RuntimeError(
+                    f"stage {name!r} bucket {b}: manifest records {expect} "
+                    f"rows but {bdir} holds {actual} — checkpoint data was "
+                    f"deleted or modified out-of-band; remove the run_dir "
+                    f"stage to force recomputation")
+        if any_files:
             return self.spark.read.parquet(data_dir).drop(BUCKET_COL)
-        if manifest_rows_out > 0:
-            raise RuntimeError(
-                f"stage {name!r}: manifest records {manifest_rows_out} rows "
-                f"but {data_dir} holds no parquet files — checkpoint data "
-                f"was deleted or moved; remove the run_dir stage to force "
-                f"recomputation")
         schema_path = os.path.join(self.run_dir, name, "_schema.json")
+        if not os.path.exists(schema_path):
+            raise RuntimeError(
+                f"stage {name!r}: all buckets are empty and no _schema.json "
+                f"was recorded (run_dir written by a pre-schema version?) — "
+                f"remove {os.path.join(self.run_dir, name)} to force "
+                f"recomputation")
         with open(schema_path) as f:
             schema = _T.StructType.fromJson(json.loads(f.read()))
         return self.spark.createDataFrame([], schema)

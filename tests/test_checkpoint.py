@@ -166,5 +166,46 @@ def test_lost_checkpoint_data_fails_loudly(spark, fixture_dir,
     run_dir = str(tmp_path_factory.mktemp("ckpt-lost"))
     run_pipeline_checkpointed(spark, fixture_dir, run_dir)
     shutil.rmtree(os.path.join(run_dir, "linked", "data"))
-    with _pytest.raises(RuntimeError, match="no parquet files"):
+    with _pytest.raises(RuntimeError, match="deleted or modified"):
         run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+
+
+def test_single_lost_bucket_fails_loudly(spark, fixture_dir,
+                                         tmp_path_factory):
+    """Deleting ONE bucket directory out-of-band (while others survive)
+    must also raise on resume: a stage-level 'some files exist' check would
+    silently return incomplete output (round-2 advice, medium)."""
+    import glob
+    import shutil
+
+    import pytest as _pytest
+
+    run_dir = str(tmp_path_factory.mktemp("ckpt-lost-bucket"))
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    bdirs = sorted(glob.glob(
+        os.path.join(run_dir, "linked", "data", "_ckpt_bucket=*")))
+    assert len(bdirs) > 1
+    shutil.rmtree(bdirs[0])
+    with _pytest.raises(RuntimeError, match="deleted or modified"):
+        run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+
+
+def test_missing_schema_on_all_empty_stage_is_clear_error(
+        spark, tmp_path_factory):
+    """An all-empty completed stage whose _schema.json is missing (run_dir
+    from a pre-schema version) must raise a clear remove-to-recompute
+    error, not a bare FileNotFoundError (round-2 advice, low)."""
+    import pytest as _pytest
+
+    from kgpipe.operators.checkpoint import CheckpointedRun
+
+    run_dir = str(tmp_path_factory.mktemp("ckpt-noschema"))
+    run = CheckpointedRun(spark, run_dir)
+    empty_in = spark.createDataFrame([], "conv_id string, x long")
+    run.stage("s1", empty_in, lambda df: df.filter("x > 0"),
+              n_buckets=2, fingerprint="fp1")
+    os.remove(os.path.join(run_dir, "s1", "_schema.json"))
+    run2 = CheckpointedRun(spark, run_dir)
+    with _pytest.raises(RuntimeError, match="_schema.json"):
+        run2.stage("s1", empty_in, lambda df: df.filter("x > 0"),
+                   n_buckets=2, fingerprint="fp1")

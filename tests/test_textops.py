@@ -36,3 +36,51 @@ def test_all_eligible_docs_are_clustered_with_their_copy(spark):
         F.sum("n_docs")).collect()[0][0]
     # every eligible doc + its planted copy is in some cluster
     assert total_docs == 2 * n_eligible
+
+
+def test_keep_best_prefers_clean_copy_over_min_id(spark):
+    """near_dup_keep_best's quality ranking must be load-bearing: the
+    low-id cluster member carries a junk 'zzz' prefix token, so whenever
+    the text contains stopwords the clean HIGHER-id copy has the higher
+    stopword ratio and must win — min-id selection would fail this."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.queries.registry import load
+    from kgpipe.queries.textops import STOPWORDS, near_dup_keep_best
+
+    kept = near_dup_keep_best(spark, SF)
+    rows = kept.collect()
+    assert rows
+    non_min = [r for r in rows if r.keep_id != r.cluster_id]
+    assert non_min, "quality ranking never overrode min-id — vacuous"
+    # every cluster whose base doc has a stopword keeps the clean copy
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    has_stop = (
+        load(spark, SF, "documents")
+        .filter(F.size(toks) >= 3)
+        .filter(F.size(F.filter(toks,
+                lambda w: F.array_contains(stop_arr, w))) > 0)
+        .select("doc_id")
+    )
+    stop_ids = {r.doc_id for r in has_stop.collect()}
+    for r in rows:
+        if r.cluster_id in stop_ids and r.n_docs == 2:
+            assert r.keep_id == r.cluster_id + 1000000, r
+
+
+def test_dedup_intermediates_are_session_cached(spark):
+    """Standalone near-dup queries share one materialized LSH-pairs /
+    members intermediate per session instead of recomputing the upstream
+    pipeline (round-2 verdict: ngram_jaccard_dups recomputed signatures
+    and shingles per call)."""
+    from kgpipe.queries.textops import minhash_lsh_pairs, near_dup_clusters
+
+    p1 = minhash_lsh_pairs(spark, SF)
+    p2 = minhash_lsh_pairs(spark, SF)
+    assert p1 is p2
+    c1 = near_dup_clusters(spark, SF)
+    c2 = near_dup_clusters(spark, SF)
+    # the grouped result is rebuilt, but over the same cached members
+    assert c1 is not c2
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
