@@ -411,6 +411,19 @@ def _lsh_pairs_over(corpus: DataFrame) -> DataFrame:
         .select("doc_id", *_minhash_cols_spark(toks))
         .localCheckpoint()
     )
+    return lsh_pairs_from_sigs(sigs)
+
+
+def minhash_sigs_over(corpus: DataFrame) -> DataFrame:
+    """Stage form of the signature computation (no checkpoint decision —
+    the caller materializes, e.g. dedup_pipeline's A14 stage write)."""
+    toks = F.split("text", " ")
+    return (corpus.filter(F.size(toks) >= 3)
+            .select("doc_id", *_minhash_cols_spark(toks)))
+
+
+def lsh_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Banded bucket self-join over a materialized signature table."""
     bands = None
     for band in range(LSH_BANDS):
         c0, c1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -697,29 +710,37 @@ def _cluster_members(spark: SparkSession, sf_dir: str,
 
     ``pairs_fn`` is a thunk (not a DataFrame) so a cache hit skips even the
     eager signature-checkpoint job the pairs construction runs."""
-    from kgpipe.operators.canon import connected_components
 
     def build() -> DataFrame:
         p = pairs_fn() if pairs_fn is not None else minhash_lsh_pairs(
             spark, sf_dir)
-        pad = "%012d"
-        edges = p.select(
-            F.format_string(pad, "doc_a").alias("src"),
-            F.format_string(pad, "doc_b").alias("dst"),
-        )
-        cc = connected_components(edges)  # (entity_id, canonical_id), non-root
-        return (
-            cc.select(F.col("entity_id").alias("doc"),
-                      F.col("canonical_id").alias("cluster_id"))
-            .unionByName(
-                cc.select(F.col("canonical_id").alias("doc"),
-                          F.col("canonical_id").alias("cluster_id")))
-            .distinct()
-            .select(F.col("doc").cast("long").alias("doc"),
-                    F.col("cluster_id").cast("long").alias("cluster_id"))
-        )
+        return members_from_pairs(p)
 
     return _cached(spark, ("members", key, sf_dir), build)
+
+
+def members_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Candidate pairs -> (doc, cluster_id) via two-phase CC; cluster_id is
+    the numeric min member (ids zero-padded through the string-keyed CC so
+    string order == numeric order)."""
+    from kgpipe.operators.canon import connected_components
+
+    pad = "%012d"
+    edges = pairs.select(
+        F.format_string(pad, "doc_a").alias("src"),
+        F.format_string(pad, "doc_b").alias("dst"),
+    )
+    cc = connected_components(edges)  # (entity_id, canonical_id), non-root
+    return (
+        cc.select(F.col("entity_id").alias("doc"),
+                  F.col("canonical_id").alias("cluster_id"))
+        .unionByName(
+            cc.select(F.col("canonical_id").alias("doc"),
+                      F.col("canonical_id").alias("cluster_id")))
+        .distinct()
+        .select(F.col("doc").cast("long").alias("doc"),
+                F.col("cluster_id").cast("long").alias("cluster_id"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -786,7 +807,14 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _cluster_members(
         spark, sf_dir, key="neardup",
         pairs_fn=lambda: _lsh_pairs_over(_neardup_corpus_spark(spark, sf_dir)))
-    corpus = _neardup_corpus_spark(spark, sf_dir)
+    return keep_best_from_members(
+        members, _neardup_corpus_spark(spark, sf_dir))
+
+
+def keep_best_from_members(members: DataFrame,
+                           corpus: DataFrame) -> DataFrame:
+    """(doc, cluster_id) members + (doc_id, text) corpus -> one kept doc
+    per cluster by stopword-ratio quality, doc_id ASC tiebreak."""
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     q = (F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))

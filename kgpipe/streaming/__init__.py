@@ -1,4 +1,5 @@
 from kgpipe.streaming.ops import (  # noqa: F401
+    IdempotentTripleSink,
     incremental_triples,
     read_events_stream,
     read_transcripts_stream,
@@ -6,4 +7,5 @@ from kgpipe.streaming.ops import (  # noqa: F401
     sliding_counts_stream,
     stream_dedup,
     tumbling_counts_stream,
+    write_triples_stream,
 )

@@ -201,3 +201,105 @@ def incremental_triples(spark: SparkSession, transcripts_stream: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- B32 sink half: foreachBatch + batch-id-keyed idempotent append ---------
+
+
+class IdempotentTripleSink:
+    """Exactly-once triple append for ``incremental_triples``: a
+    ``foreachBatch`` sink with the same write -> fsync-manifest commit
+    protocol the batch checkpoints use (operators/checkpoint.py).
+
+    Structured Streaming replays an uncommitted micro-batch after a crash
+    with the SAME ``batch_id`` (file source + checkpointLocation); the sink
+    makes the replay idempotent:
+
+    * already-committed batch_id -> no-op (the replay after a crash that
+      happened downstream of the commit);
+    * data lands in a staging dir, then an ``os.replace`` rename to
+      ``data/batch_id=N`` (atomic within one filesystem);
+    * the manifest row is appended + fsynced ONLY after the rename.
+
+    A crash in any window therefore leaves either an invisible orphan dir
+    (re-replaced on replay — the stateful operator is deterministic, so the
+    replayed batch holds identical rows) or a fully committed batch; never
+    duplicates, never a partial read. ``read()`` trusts the manifest alone.
+
+    On Iceberg the same shape is a ``MERGE``/append guarded by a batch-id
+    snapshot property; parquet dirs + a manifest are the sandbox
+    equivalent (SURVEY.md §2B B32).
+    """
+
+    def __init__(self, out_dir: str):
+        import os
+
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.manifest = os.path.join(out_dir, "manifest.jsonl")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def committed_batches(self) -> set[int]:
+        import json
+        import os
+
+        done: set[int] = set()
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                for line in f:
+                    if line.strip():
+                        done.add(int(json.loads(line)["batch_id"]))
+        return done
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            return
+        rows = self._write(batch_df, batch_id)
+        self._commit(batch_id, rows)
+
+    def _write(self, batch_df: DataFrame, batch_id: int) -> int:
+        import os
+        import shutil
+
+        from kgpipe.operators.checkpoint import _parquet_rows
+
+        staging = os.path.join(self.out_dir, f".staging-{batch_id}")
+        final = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+        return _parquet_rows(final)
+
+    def _commit(self, batch_id: int, rows: int) -> None:
+        import json
+        import os
+
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, "rows": rows,
+                                "status": "done"}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The committed triple table (manifest-listed batches only)."""
+        import os
+
+        dirs = [os.path.join(self.data_dir, f"batch_id={b}")
+                for b in sorted(self.committed_batches())]
+        if not dirs:
+            return spark.createDataFrame([], _TRIPLE_OUT)
+        return spark.read.parquet(*dirs)
+
+
+def write_triples_stream(triples: DataFrame, sink: IdempotentTripleSink,
+                         checkpoint_dir: str):
+    """Wire the incremental-triples stream into the idempotent sink with
+    availableNow semantics (drain everything currently in the source, then
+    stop). Returns the StreamingQuery."""
+    return (triples.writeStream
+            .foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -171,3 +171,77 @@ def test_incremental_triples_match_batch_across_microbatches(spark, tmp_path):
     got = {tuple(r) for r in got_df
            .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
     assert got == want
+
+
+def test_idempotent_sink_crash_mid_batch_no_duplicates(spark, tmp_path):
+    """B32 exactly-once sink half: kill the stream in the WORST crash
+    window (batch data renamed into place, manifest commit not yet
+    written), restart from the same checkpoint, and the committed triple
+    table must equal the uninterrupted run's — zero duplicates, zero
+    losses."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kgpipe.streaming import (
+        IdempotentTripleSink,
+        incremental_triples,
+        read_transcripts_stream,
+        write_triples_stream,
+    )
+
+    fixture = materialize("unit")
+    t = pd.read_parquet(os.path.join(fixture, "transcripts.parquet"))
+    t = t.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    cut = t.groupby("conv_id")["turn_idx"].transform("median")
+    t[t["turn_idx"] <= cut].to_parquet(os.path.join(d, "a.parquet"),
+                                       index=False, coerce_timestamps="us",
+                                       allow_truncated_timestamps=True)
+    import time
+    time.sleep(1.1)
+    t[t["turn_idx"] > cut].to_parquet(os.path.join(d, "b.parquet"),
+                                      index=False, coerce_timestamps="us",
+                                      allow_truncated_timestamps=True)
+    cd = pd.read_parquet(os.path.join(fixture, "candidate_dict.parquet"))
+
+    def run(out_dir, ckpt_dir, sink):
+        q = write_triples_stream(
+            incremental_triples(
+                spark, read_transcripts_stream(spark, d), cd),
+            sink, ckpt_dir)
+        q.awaitTermination(300)
+
+    # uninterrupted reference run
+    ref_sink = IdempotentTripleSink(str(tmp_path / "out_ref"))
+    run(str(tmp_path / "out_ref"), str(tmp_path / "ckpt_ref"), ref_sink)
+    want = sorted(map(tuple, ref_sink.read(spark).collect()))
+    assert want and len(ref_sink.committed_batches()) >= 2
+
+    class CrashBeforeCommit(IdempotentTripleSink):
+        def _commit(self, batch_id, rows):
+            if batch_id == 1:
+                raise RuntimeError("injected crash before manifest commit")
+            super()._commit(batch_id, rows)
+
+    out2 = str(tmp_path / "out_crash")
+    ckpt2 = str(tmp_path / "ckpt_crash")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        run(out2, ckpt2, CrashBeforeCommit(out2))
+    crashed = IdempotentTripleSink(out2)
+    # batch 1's data dir exists on disk but is NOT visible: uncommitted
+    assert 1 not in crashed.committed_batches()
+    assert os.path.isdir(os.path.join(out2, "data", "batch_id=1"))
+    mid = sorted(map(tuple, crashed.read(spark).collect()))
+    assert set(mid) < set(want)
+
+    # restart with a fresh (non-crashing) sink over the same dirs:
+    # Structured Streaming replays batch 1; the sink re-replaces the
+    # orphan dir and commits exactly once
+    run(out2, ckpt2, crashed)
+    got = sorted(map(tuple, crashed.read(spark).collect()))
+    assert got == want
+    # and a THIRD run (everything already committed) changes nothing
+    run(out2, ckpt2, IdempotentTripleSink(out2))
+    assert sorted(map(tuple,
+                      IdempotentTripleSink(out2).read(spark).collect())) == want
