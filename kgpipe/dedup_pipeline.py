@@ -1,0 +1,82 @@
+"""A14-checkpointed near-duplicate dedup pipeline (SURVEY.md §2A A14 ×
+the LLM-data dedup family): sigs -> pairs -> members -> keep_best as
+``CheckpointedRun`` stages with per-stage lineage manifests.
+
+Stage shapes:
+
+* ``sigs`` — per-doc MinHash signatures. Bucket-local by ``doc_id``
+  (a signature depends only on its own row), so it checkpoints at bucket
+  granularity and resumes per bucket — at 100 TB this is the stage worth
+  fine-grained resume: it scans all the text.
+* ``pairs`` — banded LSH bucket self-join. GLOBAL (a pair spans doc
+  buckets), so stage-level resume; the write keeps the join's natural
+  parallelism (checkpoint.py writes global stages without a
+  repartition(1) funnel).
+* ``members`` — connected components over the candidate pairs. Global
+  (iterative O(log^2 n) two-phase CC).
+* ``keep_best`` — quality-ranked representative per cluster. Global
+  (the members<->corpus join shuffles on doc_id anyway).
+
+Fingerprints chain exactly like the KG pipeline's
+(``pipeline.run_pipeline_checkpointed``): stage k+1's fingerprint hashes
+stage k's, so editing the source corpus — or any MinHash/LSH parameter —
+invalidates everything downstream transitively, while an interrupted run
+resumes from the last durably-committed stage (or bucket, for ``sigs``).
+
+This is the "at 100 TB a real pipeline would write sigs to a table
+between stages" note in queries/textops.py made real: each stage's output
+IS a parquet table with a lineage manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgpipe.operators.checkpoint import CheckpointedRun, input_fingerprint
+from kgpipe.queries.textops import (
+    LSH_BANDS,
+    LSH_BUCKET_CAP,
+    MINHASH_AB,
+    keep_best_from_members,
+    lsh_pairs_from_sigs,
+    members_from_pairs,
+    minhash_sigs_over,
+)
+
+
+def run_dedup_checkpointed(
+    spark: SparkSession,
+    corpus: DataFrame,
+    input_paths: list[str],
+    run_dir: str,
+    n_buckets: int = 16,
+) -> dict[str, object]:
+    """Run the near-dup pipeline over ``corpus`` (doc_id, text) with every
+    stage checkpointed under ``run_dir``.
+
+    ``input_paths``: the files ``corpus`` derives from — fingerprinting
+    input; the corpus transform itself must be deterministic given those
+    files (true for all fixture corpora here).
+    """
+    params = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
+              "v": 1}
+    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **params})
+    fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
+    fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
+    fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]
+
+    run = CheckpointedRun(spark, run_dir)
+    s1 = run.stage("sigs", corpus, minhash_sigs_over,
+                   key_col="doc_id", n_buckets=n_buckets, fingerprint=fp1)
+    s2 = run.stage("pairs", s1.df, lsh_pairs_from_sigs,
+                   n_buckets=1, fingerprint=fp2)
+    s3 = run.stage("members", s2.df, members_from_pairs,
+                   n_buckets=1, fingerprint=fp3)
+    s4 = run.stage("keep_best", s3.df,
+                   lambda m: keep_best_from_members(m, corpus),
+                   n_buckets=1, fingerprint=fp4)
+    run.write_metrics()
+    return {"sigs": s1.df, "pairs": s2.df, "members": s3.df,
+            "keep_best": s4.df, "metrics": run.metrics, "run": run}

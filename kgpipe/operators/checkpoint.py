@@ -181,19 +181,33 @@ class CheckpointedRun:
         computed_rows = 0
 
         if todo:
-            bucketed = input_df.withColumn(BUCKET_COL, _bucket_expr(key_col, n_buckets))
-            if done:
-                bucketed = bucketed.filter(~F.col(BUCKET_COL).isin(*done))
-            out = fn(bucketed.drop(BUCKET_COL) if n_buckets == 1 else bucketed)
-            if BUCKET_COL not in out.columns:
-                out = out.withColumn(BUCKET_COL, _bucket_expr(key_col, n_buckets))
-            # align tasks with output partitions: without this every task
-            # writes a sliver into every bucket dir (n_tasks × n_buckets
-            # tiny files); with it each bucket is one file written by one
-            # task — same property Iceberg gets from a bucket-transform
-            # write distribution.
-            (out.repartition(len(todo), F.col(BUCKET_COL))
-                .write.mode("overwrite")
+            if n_buckets == 1:
+                # global stage (self-joins, CC): the output schema need not
+                # share any column with the input, so the bucket column is a
+                # literal 0 — and the write keeps the stage's natural
+                # parallelism (a repartition(1) here would funnel the whole
+                # stage through one task; many files in the single bucket
+                # dir are fine, footers are summed).
+                out = fn(input_df)
+                if BUCKET_COL not in out.columns:
+                    out = out.withColumn(BUCKET_COL, F.lit(0).cast("int"))
+                writer = out
+            else:
+                bucketed = input_df.withColumn(
+                    BUCKET_COL, _bucket_expr(key_col, n_buckets))
+                if done:
+                    bucketed = bucketed.filter(~F.col(BUCKET_COL).isin(*done))
+                out = fn(bucketed)
+                if BUCKET_COL not in out.columns:
+                    out = out.withColumn(
+                        BUCKET_COL, _bucket_expr(key_col, n_buckets))
+                # align tasks with output partitions: without this every
+                # task writes a sliver into every bucket dir (n_tasks ×
+                # n_buckets tiny files); with it each bucket is one file
+                # written by one task — same property Iceberg gets from a
+                # bucket-transform write distribution.
+                writer = out.repartition(len(todo), F.col(BUCKET_COL))
+            (writer.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(BUCKET_COL)
                 .parquet(data_dir))

@@ -769,9 +769,10 @@ def _neardup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return noisy.unionByName(clean)
 
 
-@register(
-    "near_dup_keep_best",
-    oracle=f"""
+# Shared by near_dup_keep_best and its checkpointed-pipeline twin
+# (dedup_pipeline): both must produce the identical keep-set, so both are
+# checked against the identical recursive-closure oracle.
+_NEARDUP_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE {_closure_ctes(_NEARDUP_CORPUS_SQL)},
     scored AS (
       SELECT doc_id,
@@ -788,8 +789,10 @@ def _neardup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY s.q DESC, s.doc_id ASC) AS rn
       FROM members m JOIN scored s ON s.doc_id = m.doc) t
     WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("near_dup_keep_best", oracle=_NEARDUP_KEEP_BEST_ORACLE)
 def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One representative per near-dup cluster: LSH pairs -> connected
     components -> quality rank (stopword ratio DESC, doc_id ASC tiebreak).
@@ -830,3 +833,28 @@ def keep_best_from_members(members: DataFrame,
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("keep_id"), "n_docs")
     )
+
+
+@register("dedup_pipeline", oracle=_NEARDUP_KEEP_BEST_ORACLE)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``near_dup_keep_best`` computed through the A14-checkpointed dedup
+    pipeline (kgpipe/dedup_pipeline.py): sigs/pairs/members/keep_best
+    land as parquet stage tables with per-bucket lineage manifests, and
+    the returned keep-set must hash-match the same recursive-closure
+    oracle as the direct form — the resumable path is held to the exact
+    same answer as the in-memory one."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from kgpipe.dedup_pipeline import run_dedup_checkpointed
+
+    run_dir = _os.path.join(
+        _tf.gettempdir(),
+        "kgpipe-dedup-"
+        + spark.sparkContext.applicationId
+        + "-" + _hl.sha256(sf_dir.encode()).hexdigest()[:8])
+    out = run_dedup_checkpointed(
+        spark, _neardup_corpus_spark(spark, sf_dir),
+        [_os.path.join(sf_dir, "documents.parquet")], run_dir)
+    return out["keep_best"]

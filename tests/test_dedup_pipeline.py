@@ -1,0 +1,121 @@
+"""A14 × dedup: the checkpointed near-dup pipeline must equal the direct
+in-memory form, resume without recomputation, recover from a crash
+mid-sigs, and invalidate on changed input (mirrors tests/test_checkpoint.py
+for the KG pipeline)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kgpipe.dedup_pipeline import run_dedup_checkpointed
+from kgpipe.queries.textops import (
+    _neardup_corpus_spark,
+    keep_best_from_members,
+    members_from_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def direct_keep_best(spark):
+    """The un-checkpointed pipeline over the same corpus (no registry
+    caches involved — built straight from the stage functions)."""
+    from kgpipe.queries.textops import _lsh_pairs_over
+
+    corpus = _neardup_corpus_spark(spark, SF_DIR)
+    members = members_from_pairs(_lsh_pairs_over(corpus))
+    return _rows(keep_best_from_members(members, corpus))
+
+
+def test_checkpointed_equals_direct(spark, direct_keep_best,
+                                    tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("dedup-full"))
+    out = run_dedup_checkpointed(
+        spark, _neardup_corpus_spark(spark, SF_DIR),
+        [os.path.join(SF_DIR, "documents.parquet")], run_dir)
+    assert _rows(out["keep_best"]) == direct_keep_best
+    assert direct_keep_best  # non-vacuous
+    # lineage: sigs bucketed 16-way, downstream stages global
+    for stage, n in (("sigs", 16), ("pairs", 1), ("members", 1),
+                     ("keep_best", 1)):
+        mpath = os.path.join(run_dir, stage, "manifest.jsonl")
+        rows = [json.loads(line) for line in open(mpath)]
+        assert {r["bucket"] for r in rows} == set(range(n)), stage
+        assert all(r["status"] == "done" for r in rows)
+
+
+def test_resume_skips_everything(spark, direct_keep_best, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("dedup-resume"))
+    args = (spark, _neardup_corpus_spark(spark, SF_DIR),
+            [os.path.join(SF_DIR, "documents.parquet")], run_dir)
+    run_dedup_checkpointed(*args)
+    out2 = run_dedup_checkpointed(*args)
+    for stage, m in out2["metrics"].items():
+        assert m["buckets_computed"] == 0, (stage, m)
+        assert m["rows_computed"] == 0, (stage, m)
+    assert _rows(out2["keep_best"]) == direct_keep_best
+
+
+def test_crash_mid_sigs_resumes_only_missing(spark, direct_keep_best,
+                                             tmp_path_factory):
+    """Crash after 10 of 16 sig buckets committed: drop the last 6 manifest
+    rows (data dirs survive, as after a real kill) and wipe the downstream
+    stages; resume must recompute exactly those buckets and still match."""
+    import shutil
+
+    run_dir = str(tmp_path_factory.mktemp("dedup-crash"))
+    args = (spark, _neardup_corpus_spark(spark, SF_DIR),
+            [os.path.join(SF_DIR, "documents.parquet")], run_dir)
+    run_dedup_checkpointed(*args)
+
+    mpath = os.path.join(run_dir, "sigs", "manifest.jsonl")
+    rows = [json.loads(line) for line in open(mpath)]
+    dropped = {r["bucket"] for r in rows[-6:]}
+    with open(mpath, "w") as f:
+        for r in rows[:-6]:
+            f.write(json.dumps(r) + "\n")
+    for stage in ("pairs", "members", "keep_best"):
+        shutil.rmtree(os.path.join(run_dir, stage))
+
+    out = run_dedup_checkpointed(*args)
+    m = out["metrics"]["sigs"]
+    assert m["buckets_computed"] == len(dropped)
+    assert m["buckets_skipped"] == 16 - len(dropped)
+    assert _rows(out["keep_best"]) == direct_keep_best
+
+
+def test_changed_corpus_invalidates(spark, tmp_path_factory, tmp_path):
+    """Editing the source documents must invalidate every stage (chained
+    fingerprints), not resume over stale signatures."""
+    import shutil
+
+    import pandas as pd
+
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "documents.parquet"),
+                alt / "documents.parquet")
+    run_dir = str(tmp_path_factory.mktemp("dedup-inval"))
+
+    def go():
+        return run_dedup_checkpointed(
+            spark, _neardup_corpus_spark(spark, str(alt)),
+            [str(alt / "documents.parquet")], run_dir)
+
+    go()
+    d = pd.read_parquet(alt / "documents.parquet")
+    d = d.iloc[: len(d) // 2]
+    d.to_parquet(alt / "documents.parquet", index=False)
+
+    out = go()
+    assert out["metrics"]["sigs"]["buckets_computed"] == 16
+    docs = {r.keep_id % 1000000 for r in out["keep_best"].collect()}
+    assert docs <= set(d["doc_id"])
