@@ -121,6 +121,17 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign-LSH bucket: parity pattern of 8 fixed, spread dimensions
 _LSH_DIMS = [1, 9, 17, 25, 33, 41, 49, 57]  # 1-indexed
 
+# Drop corpus vectors from buckets holding more than this many members
+# (per table): a degenerate embedding distribution (all-positive region,
+# zero-padded vectors) can funnel a large corpus fraction into ONE bucket,
+# making the per-bucket candidate set unbounded — the ANN analogue of
+# textops.LSH_BUCKET_CAP. In the multi-table variant the cap is per table,
+# so a vector hot in one table can still be found through the others
+# (standard multi-probe practice). Far above any bucket the test tables
+# produce (max 15 at sf0.1), so results there are unchanged — the cap only
+# bounds the worst case at scale. Enforced in plan AND oracle.
+ANN_BUCKET_CAP = 256
+
 # multi-table sign-LSH: 3 tables over DISJOINT dimension sets. One 8-bit
 # table keeps only ~N/256 of the corpus per bucket and misses any neighbor
 # that differs in a single signed dimension; a candidate survives if it
@@ -153,14 +164,20 @@ def _bucket_sql(alias: str, dims: list[int] | None = None) -> str:
 @register(
     "ann_lsh_topk",
     oracle=f"""
+    WITH v AS (
+      SELECT e.*,
+             count(*) OVER (PARTITION BY {_bucket_sql("e")}) AS bsz
+      FROM embeddings e
+    )
     SELECT query_id, vec_id, cosine FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
              {_COS_SQL} AS cosine,
              row_number() OVER (PARTITION BY q.vec_id
                                 ORDER BY {_COS_SQL} DESC, v.vec_id ASC) AS rn
       FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
-      JOIN embeddings v
-        ON {_bucket_sql("q")} = {_bucket_sql("v")} AND v.vec_id != q.vec_id) t
+      JOIN v
+        ON {_bucket_sql("q")} = {_bucket_sql("v")} AND v.vec_id != q.vec_id
+       AND v.bsz <= {ANN_BUCKET_CAP}) t
     WHERE rn <= {TOP_K}
     """,
 )
@@ -173,7 +190,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("bucket"),
     )
-    v = e.select("vec_id", "embedding", "bucket")
+    # hot-bucket cap via broadcast anti-join: the bucket-size table is at
+    # most 2^8 rows (bucket domain), so the corpus side never shuffles —
+    # a window count here would shuffle the full wide vectors on bucket.
+    hot = (e.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+           .filter(F.col("bsz") > ANN_BUCKET_CAP).select("bucket"))
+    v = (e.select("vec_id", "embedding", "bucket")
+         .join(F.broadcast(hot), "bucket", "left_anti"))
     cos = F.round(
         _dot(F.col("q_emb"), F.col("embedding"))
         / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
@@ -195,18 +218,68 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MT_MATCH = " OR ".join(
-    f"{_bucket_sql('q', dims)} = {_bucket_sql('v', dims)}"
-    for dims in _LSH_TABLES
+    f"({_bucket_sql('q', dims)} = {_bucket_sql('v', dims)}"
+    f" AND v.bsz{t} <= {ANN_BUCKET_CAP})"
+    for t, dims in enumerate(_LSH_TABLES)
 )
+
+_MT_SIZES = ", ".join(
+    f"count(*) OVER (PARTITION BY {_bucket_sql('e', dims)}) AS bsz{t}"
+    for t, dims in enumerate(_LSH_TABLES)
+)
+
+
+def _mt_candidates(e: DataFrame) -> DataFrame:
+    """(query_id, vec_id) candidate pairs: per-table sign-LSH bucket
+    collisions, unioned and deduped, with over-full buckets dropped PER
+    TABLE (``ANN_BUCKET_CAP``). Per-table bucket sizes come from one
+    explode-and-count pass over the narrow projection — (table, bucket)
+    partials only, at most ``tables × 2^bits`` groups — and are applied as
+    broadcast anti-joins, so the corpus side stays shuffle-free."""
+    narrow = e.select(
+        "vec_id",
+        *[
+            _bucket_spark(F.col("embedding"), dims).alias(f"b{t}")
+            for t, dims in enumerate(_LSH_TABLES)
+        ],
+    )
+    hot = (
+        narrow.select(F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+            for t in range(len(_LSH_TABLES))])).alias("tb"))
+        .groupBy(F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > ANN_BUCKET_CAP)
+        .select("t", "b")
+    )
+    qn = narrow.filter(F.col("vec_id") < N_QUERY)
+    cands = None
+    for t in range(len(_LSH_TABLES)):
+        probe = qn.select(
+            F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("qb")
+        )
+        hot_t = hot.filter(F.col("t") == t).select(F.col("b").alias(f"b{t}"))
+        c = (
+            narrow.join(F.broadcast(hot_t), f"b{t}", "left_anti")
+            .join(F.broadcast(probe), F.col(f"b{t}") == F.col("qb"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
 
 
 @register(
     "ann_multitable_topk",
     oracle=f"""
-    WITH cand AS (
+    WITH v AS (
+      SELECT e.*, {_MT_SIZES}
+      FROM embeddings e
+    ),
+    cand AS (
       SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
       FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
-      JOIN embeddings v
+      JOIN v
         ON ({_MT_MATCH}) AND v.vec_id != q.vec_id
     )
     SELECT query_id, vec_id, cosine FROM (
@@ -220,6 +293,7 @@ _MT_MATCH = " OR ".join(
     WHERE rn <= {TOP_K}
     """,
 )
+
 def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN: candidate generation over 3 disjoint-dim
     hash tables (union of bucket collisions), then exact-cosine re-rank of
@@ -238,26 +312,7 @@ def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper/lower-recall variant.
     """
     e = load(spark, sf_dir, "embeddings")
-    narrow = e.select(
-        "vec_id",
-        *[
-            _bucket_spark(F.col("embedding"), dims).alias(f"b{t}")
-            for t, dims in enumerate(_LSH_TABLES)
-        ],
-    )
-    qn = narrow.filter(F.col("vec_id") < N_QUERY)
-    cands = None
-    for t in range(len(_LSH_TABLES)):
-        probe = qn.select(
-            F.col("vec_id").alias("query_id"), F.col(f"b{t}").alias("qb")
-        )
-        c = (
-            narrow.join(F.broadcast(probe), F.col(f"b{t}") == F.col("qb"))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id")
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    cands = _mt_candidates(e)
 
     q_emb = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

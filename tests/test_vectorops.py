@@ -69,6 +69,64 @@ def test_multitable_beats_single_table(spark, planted_dir):
     assert multi >= 0.9
 
 
+@pytest.fixture(scope="module")
+def hotbucket_dir(tmp_path_factory):
+    """A pathological corpus: 300 vectors forced positive on every
+    single-table / table-0 LSH dimension, funneling them all into ONE
+    bucket (size 301 with the query > ANN_BUCKET_CAP=256). Query 0 sits in
+    that bucket; everything else is kept out of it by forcing dim 0
+    negative."""
+    rng = np.random.default_rng(11)
+    dim = 64
+    t0_dims = [0, 8, 16, 24, 32, 40, 48, 56]  # 0-based _LSH_TABLES[0]
+
+    def vec(hot: bool):
+        v = rng.standard_normal(dim).astype(np.float32)
+        if hot:
+            v[t0_dims] = np.abs(v[t0_dims]) + 0.1
+        else:
+            v[0] = -abs(v[0]) - 0.1
+        return v
+
+    rows = [(0, vec(hot=True))]
+    rows += [(i, vec(hot=False)) for i in range(1, 10)]
+    rows += [(10 + i, vec(hot=False)) for i in range(400)]
+    rows += [(10000 + i, vec(hot=True)) for i in range(300)]
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].tolist() for r in rows],
+         "label": ["x"] * len(rows)})
+    d = tmp_path_factory.mktemp("hotbucket")
+    df.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_single_table_drops_hot_bucket(spark, hotbucket_dir):
+    """The over-full bucket contributes zero candidates: query 0 (inside
+    it) gets no results, and no planted vector surfaces anywhere."""
+    out = QUERIES["ann_lsh_topk"](spark, hotbucket_dir).collect()
+    assert out  # other queries still served
+    assert all(r.vec_id < 10000 for r in out)
+    assert all(r.query_id != 0 for r in out)
+
+
+def test_multitable_caps_per_table_but_keeps_other_tables(
+        spark, hotbucket_dir):
+    """Per-table cap: the 301-member table-0 bucket is excluded, so the
+    planted set reaches query 0 only via chance collisions in tables 1/2
+    (expected ~300*2/256 ≈ 2) instead of wholesale; without the cap every
+    one of the 300 planted vectors would be a candidate."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.queries.registry import load
+    from kgpipe.queries.vectorops import _mt_candidates
+
+    cands = _mt_candidates(load(spark, hotbucket_dir, "embeddings"))
+    planted = cands.filter(
+        (F.col("query_id") == 0) & (F.col("vec_id") >= 10000)).count()
+    assert planted < 50, planted
+
+
 def test_candidate_generation_is_narrow(spark, planted_dir):
     # the 3-way candidate union must not carry the 64-float vectors:
     # only the final re-rank joins them back
