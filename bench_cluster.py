@@ -92,7 +92,8 @@ def ensure_shards(corpus: str) -> list[str]:
 
 
 def _launch(input_dir: str, outdir: str, core_lo: int) -> subprocess.Popen:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(CORES_PER_EXEC))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(CORES_PER_EXEC),
+               KGPIPE_STAGE_METRICS="1")
     shutil.rmtree(outdir, ignore_errors=True)
     return subprocess.Popen(
         ["taskset", "-c", f"{core_lo}-{core_lo + CORES_PER_EXEC - 1}",
@@ -109,13 +110,26 @@ def _result(proc: subprocess.Popen, timeout: int = 3000) -> dict:
     return json.loads(last)
 
 
+def _totals(recs: list[dict]) -> dict | None:
+    """Sum the per-JVM stage-counter totals (each JVM reports its own via
+    the status REST API): constant shuffle bytes + inflating CPU between
+    levels is the job-side evidence for the host-contention diagnosis."""
+    ts = [r.get("stage_counters", {}).get("totals")
+          for r in recs if isinstance(r.get("stage_counters"), dict)]
+    ts = [t for t in ts if t]
+    if not ts:
+        return None
+    return {k: sum(t.get(k, 0) for t in ts) for k in ts[0]}
+
+
 def run_one_jvm(corpus: str) -> dict:
     t0 = time.time()
     rec = _result(_launch(corpus, "/tmp/cluster_out_1jvm", 0))
     wall = time.time() - t0
     return {"jvms": 1, "cores": CORES_PER_EXEC, "wall_sec": round(wall, 2),
             "triples": rec["triples"],
-            "triples_per_sec": round(rec["triples"] / wall, 1)}
+            "triples_per_sec": round(rec["triples"] / wall, 1),
+            "stage_counter_totals": _totals([rec])}
 
 
 def run_four_jvms(shards: list[str]) -> dict:
@@ -130,7 +144,8 @@ def run_four_jvms(shards: list[str]) -> dict:
     return {"jvms": N_SHARDS, "cores": N_SHARDS * CORES_PER_EXEC,
             "wall_sec": round(wall, 2), "triples": total,
             "triples_per_sec": round(total / wall, 1),
-            "per_shard_triples": [r["triples"] for r in recs]}
+            "per_shard_triples": [r["triples"] for r in recs],
+            "stage_counter_totals": _totals(recs)}
 
 
 def _prior(path: str, key: str) -> dict | None:

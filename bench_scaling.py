@@ -84,7 +84,8 @@ def run_level(fixture: str, cpus: int) -> dict:
     really consumes ~3x its nominal cores and understates scaling.
     ``taskset -c 0..N-1`` makes the run an honest N-core-cluster proxy:
     everything the job spawns (JVM + pyspark daemons) inherits the mask."""
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               KGPIPE_STAGE_METRICS="1")
     outdir = f"/tmp/scalebench_out_{cpus}"
     last_err = None
     for attempt in range(2):  # retry once: the host sporadically wedges a
@@ -102,7 +103,11 @@ def run_level(fixture: str, cpus: int) -> dict:
             rec = json.loads(last)
             return {"cpus": cpus, "wall_sec": rec["wall_sec"],
                     "triples": rec["triples"],
-                    "triples_per_sec": rec["triples_per_sec"]}
+                    "triples_per_sec": rec["triples_per_sec"],
+                    # the job's own per-stage shuffle/spill/CPU counters:
+                    # identical bytes + inflated CPU across levels pins the
+                    # host-contention diagnosis on job evidence, not probes
+                    "stage_counters": rec.get("stage_counters")}
         except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
             last_err = e
             subprocess.run(["pkill", "-9", "-f", "run_pipeline.py"],
@@ -133,12 +138,18 @@ def _prior_best(cpus: int, fixture: str) -> dict | None:
     return min(cands, key=lambda r: r["wall_sec"]) if cands else None
 
 
-def best_of(fixture: str, cpus: int, runs: int = 3) -> dict:
+def best_of(fixture: str, cpus: int, runs: int = 3) -> tuple[dict, dict]:
+    """(best including persisted history, best of THIS invocation's fresh
+    runs). Both are reported: a historical best can come from a different
+    host phase than another level's fresh-only runs, so the fresh-only
+    ratio — every level measured in the same phase — is published
+    alongside the best-of-history ratio."""
     results = [run_level(fixture, cpus) for _ in range(runs)]
+    fresh = min(results, key=lambda r: r["wall_sec"])
     prior = _prior_best(cpus, fixture)
-    if prior is not None:
-        results.append(prior)
-    return min(results, key=lambda r: r["wall_sec"])
+    best = fresh if prior is None or fresh["wall_sec"] <= prior["wall_sec"] \
+        else prior
+    return best, fresh
 
 
 def _burn(n: int) -> int:
@@ -166,22 +177,40 @@ def main() -> int:
     fixture = ensure_scalebench_fixture()
     # ~21 min per 2-core run at x256; 2 fresh runs + the persisted
     # same-input best bound the host's degraded-phase risk at every level
-    n2 = best_of(fixture, 2, runs=2)
-    n8 = best_of(fixture, 8, runs=2)
-    n32 = best_of(fixture, 32, runs=2)
+    n2, n2f = best_of(fixture, 2, runs=2)
+    n8, n8f = best_of(fixture, 8, runs=2)
+    n32, n32f = best_of(fixture, 32, runs=2)
     eff_2_8 = round((n8["triples_per_sec"] / n2["triples_per_sec"]) / 4.0, 3)
     eff_8_32 = round((n32["triples_per_sec"] / n8["triples_per_sec"]) / 4.0, 3)
+    eff_2_8_fresh = round(
+        (n8f["triples_per_sec"] / n2f["triples_per_sec"]) / 4.0, 3)
+    eff_8_32_fresh = round(
+        (n32f["triples_per_sec"] / n8f["triples_per_sec"]) / 4.0, 3)
     result = {
         "input": fixture,
         "primary": {"N": n2, "4N": n8,
                     "scaling_efficiency_N_to_4N": eff_2_8,
+                    "scaling_efficiency_fresh_only": eff_2_8_fresh,
+                    "fresh_N_wall_sec": n2f["wall_sec"],
+                    "fresh_4N_wall_sec": n8f["wall_sec"],
                     "meets_0.8_bar": eff_2_8 >= 0.8},
         "secondary_8_to_32": {"N": n8, "4N": n32,
                               "scaling_efficiency_N_to_4N": eff_8_32,
+                              "scaling_efficiency_fresh_only": eff_8_32_fresh,
+                              "fresh_4N_wall_sec": n32f["wall_sec"],
                               "host_artifact": "above ~8-16 runtime threads this "
                               "host inflates user CPU ~1.6x and kernel CPU ~8x "
                               "for the identical job; see cpu_burn_control for "
                               "the raw-CPU ceiling"},
+        # job-side evidence for the above: per-level totals from the
+        # status API of THIS invocation's fresh runs — compare shuffle/input
+        # bytes (should be ~constant) against executorCpuTime (inflates
+        # with host contention)
+        "stage_counter_totals_fresh": {
+            "2": (n2f.get("stage_counters") or {}).get("totals"),
+            "8": (n8f.get("stage_counters") or {}).get("totals"),
+            "32": (n32f.get("stage_counters") or {}).get("totals"),
+        },
         "cpu_burn_control": cpu_burn_control(),
         "note": "fresh JVM per level, identical job+input, best-of-2; "
                 "local[N] proxies an N-executor cluster (no real cluster "

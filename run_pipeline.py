@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     wall = time.time() - t0
     report = {"triples": n, "wall_sec": round(wall, 2),
               "triples_per_sec": round(n / wall, 1), "output": args.output}
+    if os.environ.get("KGPIPE_STAGE_METRICS"):
+        from kgpipe.stage_counters import stage_counters
+
+        report["stage_counters"] = stage_counters(spark)
     if args.checkpoint_dir:
         report["stage_metrics"] = out["metrics"]
     if args.eval:
