@@ -22,4 +22,5 @@ from kgpipe.queries import analytics  # noqa: E402,F401
 from kgpipe.queries import textops  # noqa: E402,F401
 from kgpipe.queries import udfs  # noqa: E402,F401
 from kgpipe.queries import vectorops  # noqa: E402,F401
+from kgpipe.queries import mediaops  # noqa: E402,F401
 from kgpipe.queries import kg  # noqa: E402,F401
