@@ -177,9 +177,10 @@ def main() -> int:
     fixture = ensure_scalebench_fixture()
     # ~21 min per 2-core run at x256; 2 fresh runs + the persisted
     # same-input best bound the host's degraded-phase risk at every level
-    n2, n2f = best_of(fixture, 2, runs=2)
-    n8, n8f = best_of(fixture, 8, runs=2)
-    n32, n32f = best_of(fixture, 32, runs=2)
+    runs = int(os.environ.get("KGPIPE_SCALING_RUNS", "2"))
+    n2, n2f = best_of(fixture, 2, runs=runs)
+    n8, n8f = best_of(fixture, 8, runs=runs)
+    n32, n32f = best_of(fixture, 32, runs=runs)
     eff_2_8 = round((n8["triples_per_sec"] / n2["triples_per_sec"]) / 4.0, 3)
     eff_8_32 = round((n32["triples_per_sec"] / n8["triples_per_sec"]) / 4.0, 3)
     eff_2_8_fresh = round(

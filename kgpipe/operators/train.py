@@ -68,6 +68,7 @@ _SALTS = {
     "sfx": np.uint64(0x165667B19E3779F9),
     "prev": np.uint64(0x27D4EB2F165667C5),
     "next": np.uint64(0x85EBCA77C2B2AE63),
+    "clus": np.uint64(0xB5297A4D3C2DA3F1),
 }
 _BOUNDARY = np.uint64(0x51ED270B)  # stands in for out-of-row prev/next
 _FNV_OCC = np.uint64(0x100000001B3)  # occurrence-mask mixing prime
@@ -75,13 +76,16 @@ _FNV_OCC = np.uint64(0x100000001B3)  # occurrence-mask mixing prime
 
 @dataclass
 class TrainedLabeler:
-    """Learned weights: hashed-feature emissions W (D, T) + transitions."""
+    """Learned weights: hashed-feature emissions W (D, T) + transitions,
+    plus the word->cluster map the cluster feature template was trained
+    with (decode must use the identical map)."""
 
     W: np.ndarray            # (D, N_TAGS) float32
     trans: np.ndarray        # (N_TAGS, N_TAGS) float32, learned scores
     D: int
     epochs_run: int
     train_token_acc: float
+    clusters: dict[str, int] | None = None
 
     def decode_trans(self) -> np.ndarray:
         """Learned transition scores with the hard BIO mask applied."""
@@ -96,8 +100,69 @@ def _hashed(h: np.ndarray, salt: np.uint64, D: int) -> np.ndarray:
     return (mixed % np.uint64(D - N_RESERVED)).astype(np.int64) + N_RESERVED
 
 
+def build_word_clusters(texts: pd.Series, n_clusters: int = 32,
+                        max_vocab: int = 2000, rank: int = 16,
+                        window: int = 2, seed: int = 7) -> dict[str, int]:
+    """Distributional word clusters — the graft's stand-in for the
+    reference's word2vec-cluster feature template (SURVEY.md §2C step 4:
+    gensim word2vec -> cluster ids as CRF features). Same role, no gensim:
+    windowed co-occurrence counts over the training sample -> symmetric
+    PPMI -> truncated eigendecomposition (the classic count-based
+    embedding; Levy & Goldberg 2014 showed SGNS word2vec implicitly
+    factorizes this same matrix) -> seeded Lloyd k-means on the embedding
+    rows. Deterministic end to end: seeded init, fixed iterations, no
+    data-order dependence beyond the co-occurrence counts themselves.
+
+    Cost is bounded by ``max_vocab`` (V x V counts, V<=2000 -> 32 MB),
+    driver-side on the SAME bounded sample the perceptron trains on —
+    independent of corpus size, like the rest of training."""
+    toks, _s, _e, row_id, _rl = tokenize_batch(texts)
+    if len(toks) == 0:
+        return {}
+    low = pd.Series(toks, dtype="object").str.lower()
+    vocab = low.value_counts().index[:max_vocab]
+    w2i = {w: i for i, w in enumerate(vocab)}
+    ids = low.map(w2i).fillna(-1).to_numpy().astype(np.int64)
+    v = len(w2i)
+    if v <= n_clusters:
+        return {w: i for w, i in w2i.items()}
+    co = np.zeros((v, v), np.float64)
+    for off in range(1, window + 1):
+        a, b = ids[:-off], ids[off:]
+        m = (row_id[off:] == row_id[:-off]) & (a >= 0) & (b >= 0)
+        np.add.at(co, (a[m], b[m]), 1.0)
+        np.add.at(co, (b[m], a[m]), 1.0)
+    total = co.sum()
+    marg = co.sum(1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(co * total / np.outer(marg, marg))
+    ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    # symmetric -> eigh; top-|rank| by |eigenvalue| are the embedding axes
+    vals, vecs = np.linalg.eigh(ppmi)
+    order = np.argsort(-np.abs(vals))[:rank]
+    emb = vecs[:, order] * np.sqrt(np.abs(vals[order]))[None, :]
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.maximum(norm, 1e-12)
+
+    rng = np.random.default_rng(seed)
+    centers = emb[rng.choice(v, n_clusters, replace=False)]
+    assign = np.zeros(v, np.int64)
+    for _ in range(25):
+        d2 = ((emb[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        new_assign = d2.argmin(1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                centers[c] = emb[m].mean(0)
+    return {w: int(assign[i]) for w, i in w2i.items()}
+
+
 def extract_features(texts: pd.Series, gaz: dict, D: int,
-                     gaz_dropout_mod: int = 0):
+                     gaz_dropout_mod: int = 0,
+                     clusters: dict[str, int] | None = None):
     """Batch feature extraction -> COO (feat_pos, feat_idx) over flat
     tokens, plus the tokenization arrays. All templates are uint64 vector
     ops; string work is pandas .str (C-side).
@@ -147,6 +212,17 @@ def extract_features(texts: pd.Series, gaz: dict, D: int,
     next_h[:-1] = np.where(row_id[1:] == row_id[:-1], tok_h[1:], _BOUNDARY)
     add(all_pos, _hashed(prev_h, _SALTS["prev"], D))
     add(all_pos, _hashed(next_h, _SALTS["next"], D))
+
+    # distributional-cluster template (§2C step 4): cluster id of the
+    # token, where the token is in the cluster vocabulary. The id is
+    # hashed like any other template, so its weight per tag is learned.
+    if clusters:
+        cl = low.map(clusters)
+        hit = cl.notna().to_numpy()
+        p = np.flatnonzero(hit)
+        if p.size:
+            cid = cl.to_numpy()[hit].astype(np.int64).astype(np.uint64)
+            add(p, _hashed(cid, _SALTS["clus"], D))
 
     # shape flags (sparse: only where true)
     first = s.str[:1]
@@ -309,7 +385,8 @@ def drop_texts_mentioning(texts: pd.Series, aliases: set[str]) -> pd.Series:
 def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
                    epochs: int = 60, D: int = 1 << 18,
                    lr: float = 1.0,
-                   gaz_dropout_mod: int = 3) -> TrainedLabeler:
+                   gaz_dropout_mod: int = 3,
+                   n_clusters: int = 32) -> TrainedLabeler:
     """Averaged structured perceptron over dictionary auto-annotations.
 
     Deterministic: full-batch decode/update per epoch, no RNG anywhere
@@ -322,8 +399,10 @@ def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
     """
     texts = texts.reset_index(drop=True)
     gaz = build_gazetteer(candidate_dict)
+    clusters = (build_word_clusters(texts, n_clusters=n_clusters)
+                if n_clusters else None)
     (feat_pos, feat_idx), tokenized = extract_features(
-        texts, gaz, D, gaz_dropout_mod=gaz_dropout_mod)
+        texts, gaz, D, gaz_dropout_mod=gaz_dropout_mod, clusters=clusters)
     toks, starts, ends, row_id, row_lengths = tokenized
     n_tok = len(toks)
     if n_tok == 0:
@@ -383,16 +462,18 @@ def fit_perceptron(texts: pd.Series, candidate_dict: pd.DataFrame,
     # epoch average, which is the noise-robust choice.
     if converged:
         return TrainedLabeler(W=W, trans=Tr, D=D, epochs_run=ran,
-                              train_token_acc=float(acc))
+                              train_token_acc=float(acc), clusters=clusters)
     return TrainedLabeler(W=Wsum / max(ran, 1), trans=Trsum / max(ran, 1),
-                          D=D, epochs_run=ran, train_token_acc=float(acc))
+                          D=D, epochs_run=ran, train_token_acc=float(acc),
+                          clusters=clusters)
 
 
 def decode_spans(texts: pd.Series, model: TrainedLabeler,
                  gaz: dict) -> pd.Series:
     """text -> list[(start, end, ent_type, score)] under the trained model."""
     texts = texts.reset_index(drop=True)
-    (feat_pos, feat_idx), tokenized = extract_features(texts, gaz, model.D)
+    (feat_pos, feat_idx), tokenized = extract_features(
+        texts, gaz, model.D, clusters=model.clusters)
     toks, starts, ends, row_id, row_lengths = tokenized
     out: list[list[tuple]] = [[] for _ in range(len(texts))]
     n_tok = len(toks)
@@ -412,7 +493,7 @@ def decode_spans(texts: pd.Series, model: TrainedLabeler,
     return pd.Series(out, index=texts.index)
 
 
-MODEL_FORMAT_VERSION = 1  # bump when features / training semantics change
+MODEL_FORMAT_VERSION = 2  # bump when features / training semantics change
 
 
 def _train_fingerprint(texts: pd.Series, candidate_dict: pd.DataFrame,
@@ -438,18 +519,27 @@ def save_model(model: TrainedLabeler, path: str) -> None:
     half-written model for a concurrent reader."""
     import os
 
+    cl = model.clusters or {}
     tmp = f"{path}.tmp{os.getpid()}.npz"  # savez appends .npz otherwise
     np.savez(tmp, W=model.W, trans=model.trans,
              meta=np.array([model.D, model.epochs_run], np.int64),
-             acc=np.array([model.train_token_acc], np.float64))
+             acc=np.array([model.train_token_acc], np.float64),
+             cluster_words=np.array(list(cl.keys()), dtype="U64"),
+             cluster_ids=np.array(list(cl.values()), np.int64))
     os.replace(tmp, path)
 
 
 def load_model(path: str) -> TrainedLabeler:
     z = np.load(path)
     d, ep = (int(x) for x in z["meta"])
+    clusters = None
+    if "cluster_words" in z.files and len(z["cluster_words"]):
+        clusters = {w: int(c) for w, c in
+                    zip(z["cluster_words"].tolist(),
+                        z["cluster_ids"].tolist())}
     return TrainedLabeler(W=z["W"], trans=z["trans"], D=d, epochs_run=ep,
-                          train_token_acc=float(z["acc"][0]))
+                          train_token_acc=float(z["acc"][0]),
+                          clusters=clusters)
 
 
 def fit_or_load(texts: pd.Series, candidate_dict: pd.DataFrame,

@@ -201,3 +201,35 @@ def test_sample_texts_seeded_not_head(corpus, tmp_path):
     assert not s1.equals(train["text"].head(50).reset_index(drop=True))
     # n >= table size -> whole column
     assert len(sample_texts(path, 10 ** 9)) == len(train)
+
+
+def test_word_clusters_deterministic_and_learned(corpus):
+    """The distributional-cluster template (SURVEY.md §2C step 4's
+    word2vec-cluster features, built without gensim: PPMI + eigh +
+    seeded k-means) must be deterministic and actually partition the
+    vocabulary — not collapse to one bucket."""
+    from kgpipe.operators.train import build_word_clusters
+
+    train, _test, _cd = corpus
+    c1 = build_word_clusters(train["text"].head(300))
+    c2 = build_word_clusters(train["text"].head(300))
+    assert c1 == c2
+    assert len(c1) > 50
+    assert len(set(c1.values())) > 4  # genuinely partitions the vocab
+
+
+def test_cluster_template_survives_disk_roundtrip(corpus, tmp_path):
+    """clusters must persist with the weights: a disk-loaded model must
+    decode byte-identically to the freshly-trained one (a cache hit that
+    silently drops the cluster template would shift every emission)."""
+    from kgpipe.operators.train import fit_or_load
+
+    train, test, cd = corpus
+    texts = train["text"].head(200)
+    m1 = fit_or_load(texts, cd, cache_dir=str(tmp_path))
+    m2 = fit_or_load(texts, cd, cache_dir=str(tmp_path))
+    assert m1.clusters and m1.clusters == m2.clusters
+    g = build_gazetteer(cd)
+    p1 = decode_spans(test["text"].head(100), m1, g)
+    p2 = decode_spans(test["text"].head(100), m2, g)
+    assert list(p1) == list(p2)
