@@ -858,3 +858,95 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _neardup_corpus_spark(spark, sf_dir),
         [_os.path.join(sf_dir, "documents.parquet")], run_dir)
     return out["keep_best"]
+
+
+# --------------------------------------------------------------------------
+# BPE-style regex token counting (task brief: "token counting (whitespace
+# + a BPE-ish regex)") — a GPT-2-flavoured pre-tokenizer: runs of letters,
+# runs of digits, runs of punctuation, each optionally absorbing one
+# leading space. The driver corpus is all lowercase words, so the three
+# classes are made load-bearing by planting a deterministic mixed-class
+# suffix ("... v<doc_id%97>-9.") on every document — digits and
+# punctuation then appear in every row and the class split discriminates.
+#
+# Portability note: the pattern uses no lookaround and only ASCII classes,
+# so Java regex (Spark) and RE2 (DuckDB) tokenize identically; both
+# engines use leftmost-first alternation.
+
+_BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+_BPE_CORPUS_SQL = """
+    (SELECT doc_id, lang,
+            text || ' v' || CAST(doc_id % 97 AS VARCHAR) || '-9.' AS text
+     FROM documents)
+"""
+
+
+def _bpe_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"), F.lit(" v"),
+            (F.col("doc_id") % 97).cast("string"), F.lit("-9."),
+        ).alias("text"),
+    )
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe,
+             len(string_split(text, ' ')) AS ws_tokens
+      FROM {_BPE_CORPUS_SQL} corpus
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(bpe)) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(len(list_filter(bpe,
+                t -> regexp_matches(t, '^ ?[a-z]+$')))) AS BIGINT)
+             AS alpha_tokens,
+           CAST(sum(len(list_filter(bpe,
+                t -> regexp_matches(t, '^ ?[0-9]+$')))) AS BIGINT)
+             AS digit_tokens,
+           CAST(sum(len(list_filter(bpe,
+                t -> regexp_matches(t, '^ ?[^a-z0-9 ]+$')))) AS BIGINT)
+             AS punct_tokens,
+           round(avg(CAST(len(bpe) AS DOUBLE) / ws_tokens), 4)
+             AS avg_bpe_per_ws
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per language. The regex
+    split is a narrow JVM-side map (``regexp_extract_all`` inside
+    whole-stage codegen — no Python); one hash aggregation on ``lang``
+    follows. At 100 TB this is scan + map + partial-agg — the cheapest
+    shape Spark has."""
+    d = _bpe_corpus_spark(spark, sf_dir)
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    cls = lambda pat: F.size(F.filter(bpe, lambda t: t.rlike(pat)))
+    return (
+        d.select(
+            "lang",
+            F.size(bpe).alias("n_bpe"),
+            cls("^ ?[a-z]+$").alias("n_alpha"),
+            cls("^ ?[0-9]+$").alias("n_digit"),
+            cls("^ ?[^a-z0-9 ]+$").alias("n_punct"),
+            F.size(F.split("text", " ")).alias("n_ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.sum("n_alpha").cast("long").alias("alpha_tokens"),
+            F.sum("n_digit").cast("long").alias("digit_tokens"),
+            F.sum("n_punct").cast("long").alias("punct_tokens"),
+            F.round(
+                F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4
+            ).alias("avg_bpe_per_ws"),
+        )
+    )

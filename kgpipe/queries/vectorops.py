@@ -337,3 +337,295 @@ def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine NEAR-DUP pairs (task brief: "embedding-cosine near-dup"
+# in the dedup family). Same two-stage shape as the text near-dup pipeline
+# (textops.py): sign-LSH buckets generate candidates, exact cosine
+# verifies. The driver's embeddings are near-uniform (no natural near-dups
+# at the 0.99 level), so — like textops._dup_corpus_spark — the corpus
+# plants known near-duplicates: a copy of every vector with dimension 1
+# scaled by 1.05 (id + 1000000). A pure positive scaling of one dimension
+# keeps every sign bucket identical (guaranteed candidate collision) and
+# cos(orig, copy) >= 0.9996 for ANY vector (minimized at
+# (1+0.05t)/sqrt(1+0.1025t), t = dim-1's share of the squared norm), so
+# the 0.99 threshold always recovers the planted pair and near-uniform
+# random pairs (cos well under 0.9) never cross it.
+
+COS_DUP_THRESH = 0.99
+
+_VEC_DUP_CORPUS_SQL = """
+    (SELECT vec_id, embedding FROM (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                 i -> CASE WHEN i = 1
+                           THEN CAST(embedding[i] AS DOUBLE) * CAST(1.05 AS DOUBLE)
+                           ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings) u)
+"""
+
+
+def _vec_dup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    perturbed = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * F.lit(1.05))
+            .otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    clean = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return perturbed.unionByName(clean)
+
+
+@register(
+    "cosine_near_dups",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM {_VEC_DUP_CORPUS_SQL} c),
+    b AS (
+      SELECT corpus.*,
+             {_bucket_sql("corpus")} AS bucket,
+             count(*) OVER (PARTITION BY {_bucket_sql("corpus")}) AS bsz
+      FROM corpus
+    )
+    SELECT q.vec_id AS vec_a, v.vec_id AS vec_b,
+           {_COS_SQL} AS cosine
+    FROM b q JOIN b v
+      ON q.bucket = v.bucket AND q.vec_id < v.vec_id
+     AND q.bsz <= {ANN_BUCKET_CAP} AND v.bsz <= {ANN_BUCKET_CAP}
+    WHERE {_COS_SQL} >= {COS_DUP_THRESH}
+    """,
+)
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket join (capped
+    hot buckets, broadcast anti-join — corpus never shuffles for the cap),
+    exact cosine >= 0.99 verify, (vec_a < vec_b) canonical pair order.
+
+    Scale shape: identical to minhash_lsh_pairs — O(N) bucketing replaces
+    the O(N^2) cross product; within-bucket pairing is bounded by
+    ANN_BUCKET_CAP; the only shuffle is the bucket equi-join."""
+    c = _vec_dup_corpus_spark(spark, sf_dir).withColumn(
+        "bucket", _bucket_spark(F.col("embedding"))
+    )
+    hot = (
+        c.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > ANN_BUCKET_CAP).select("bucket")
+    )
+    c = c.join(F.broadcast(hot), "bucket", "left_anti")
+    a = c.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = c.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COS_DUP_THRESH)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (task brief: "an IVF or LSH-bucketed variant as the scale path").
+# The LSH-bucketed variants above cover the hashing family; this is the
+# inverted-file family: a coarse quantizer assigns every vector to its
+# nearest of K_CELLS centroids (the inverted lists), a query probes only
+# its NPROBE nearest cells, and the survivors get an exact re-rank.
+#
+# Centroid choice: the K lowest-id corpus vectors (deterministic "k-means
+# with zero Lloyd iterations") so the oracle can replay the SEARCH
+# machinery — assignment, cell pruning, probing, re-rank — exactly.
+# Centroid TRAINING is the pluggable upstream step: ivf_train_centroids
+# below runs distributed Lloyd iterations Spark-side and is gated by a
+# separable-blobs recovery test (tests/test_vectorops.py), but its output
+# feeds the same search path.
+
+K_CELLS = 16
+NPROBE = 4
+
+
+def _ivf_assign(e: DataFrame, cents: list[tuple[int, list[float]]]):
+    """Nearest-centroid cell id as a NARROW map over the corpus scan: the
+    K centroids are literal arrays baked into the expression (the FAISS
+    model — centroids are cluster-wide replicated metadata), so assignment
+    is shuffle-free whole-stage-codegen'd arithmetic, never a join. Ties
+    on the 6-dp rounded cosine break toward the lowest cell id via
+    lexicographic struct-min over (-cos, cell)."""
+    emb = F.col("embedding")
+    scored = []
+    for cell_id, vec in cents:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        cos = F.round(_dot(emb, lit) / (_norm(emb) * _norm(lit)), 6)
+        scored.append(
+            F.struct((-cos).alias("nc"), F.lit(cell_id).alias("cell"))
+        )
+    return F.array(*scored)
+
+
+def _collect_seed_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    rows = (
+        e.filter(F.col("vec_id") >= N_QUERY)
+        .orderBy("vec_id").limit(K_CELLS).collect()
+    )  # K_CELLS rows only — bounded driver-side metadata, not data
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+_IVF_COS_C = """
+    round(list_sum(list_transform(range(1, len({a}.embedding) + 1),
+            i -> CAST({a}.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform({a}.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding FROM embeddings
+      WHERE vec_id >= {N_QUERY} ORDER BY vec_id LIMIT {K_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS_C.format(a="v")} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c) t
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_IVF_COS_C.format(a="q")} DESC,
+                                           c.cell ASC) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERY}) q
+        CROSS JOIN cent c) t
+      WHERE rn <= {NPROBE}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT p.query_id, a.vec_id,
+             {_COS_SQL} AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_COS_SQL} DESC, a.vec_id ASC) AS rn
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings v ON v.vec_id = a.vec_id) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into K_CELLS inverted lists,
+    probe each query's NPROBE nearest cells, exact-cosine re-rank.
+
+    Scale shape: assignment and probing are narrow maps against literal
+    centroids (no join, no shuffle — see _ivf_assign); the probe table is
+    NPROBE x |queries| rows (broadcast); query vectors broadcast for the
+    re-rank; the only shuffle is the final per-query top-k window over
+    the probed cells' members (|corpus| x NPROBE / K_CELLS expected rows).
+    At 100 TB the inverted lists would be written partitioned BY cell so a
+    probe prunes partitions at the scan."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = _collect_seed_centroids(e)
+
+    assigned = e.select(
+        "vec_id", "embedding",
+        F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(_ivf_assign(e, cents)), 1, NPROBE)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cell").alias("cell"))
+    )
+    q_emb = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+        6,
+    )
+    j = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def ivf_train_centroids(
+    e: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations for the IVF coarse quantizer: assign
+    (narrow map vs literal centroids) -> per-(cell, dim) mean via
+    posexplode + hash agg (K_CELLS x dim groups — tiny) -> collect the
+    K x dim refined centroids. Cost per iteration is one corpus scan plus
+    a K*dim-group aggregation; nothing wide ever shuffles. Empty cells
+    keep their previous centroid (standard Lloyd practice)."""
+    cents = seeds
+    dim_of = {c: len(v) for c, v in cents}
+    for _ in range(iters):
+        # two selects, not one: a generator (posexplode) in the same select
+        # as a lambda-HOF struct makes the analyzer drop the struct's field
+        # aliases (col1/col2) — still one narrow chain, no shuffle
+        assigned = e.select(
+            F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"),
+            "embedding",
+        ).select("cell", F.posexplode("embedding").alias("pos", "x"))
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .collect()
+        )  # K_CELLS rows — bounded
+        new = {int(r.cell): [float(x) for x in r.centroid] for r in means}
+        cents = [(c, new.get(c, v)) for c, v in cents]
+        assert all(len(v) == dim_of[c] for c, v in cents)
+    return cents

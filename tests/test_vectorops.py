@@ -135,3 +135,109 @@ def test_candidate_generation_is_narrow(spark, planted_dir):
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN + Lloyd trainer
+
+
+def test_ivf_recall_on_planted(spark, planted_dir):
+    """Seed-centroid IVF (NPROBE=4 of 16 cells) must recover most planted
+    near-duplicate neighbors: a dup sits ~next to its query, so both land
+    in (or near) the same cell and the probe set covers it."""
+    truth = _pairs(QUERIES["cosine_topk_bruteforce"](spark, planted_dir))
+    got = _pairs(QUERIES["ann_ivf_topk"](spark, planted_dir))
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_assignment_is_narrow(spark, planted_dir):
+    """Cell assignment must be literal-centroid arithmetic — no join, no
+    shuffle — over the corpus scan (the FAISS shape)."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.queries.registry import load
+    from kgpipe.queries.vectorops import (
+        _collect_seed_centroids, _ivf_assign)
+
+    e = load(spark, planted_dir, "embeddings")
+    cents = _collect_seed_centroids(e)
+    assigned = e.select(
+        F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"))
+    plan = assigned._jdf.queryExecution().explainString(
+        assigned._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+@pytest.fixture(scope="module")
+def blobs_dir(tmp_path_factory):
+    """4 well-separated gaussian blobs (cosine structure: orthogonal-ish
+    means, tight noise) — Lloyd iterations from deliberately bad seeds
+    must recover one centroid per blob."""
+    rng = np.random.default_rng(23)
+    dim, per = 64, 120
+    means = np.zeros((4, dim), dtype=np.float64)
+    for b in range(4):
+        means[b, b * 16:(b + 1) * 16] = 5.0  # disjoint support -> orthogonal
+    rows = []
+    for b in range(4):
+        for i in range(per):
+            v = means[b] + 0.3 * rng.standard_normal(dim)
+            rows.append((10 + b * per + i, v.astype(np.float32), b))
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].tolist() for r in rows],
+         "label": [r[2] for r in rows]})
+    d = tmp_path_factory.mktemp("blobs")
+    df.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_ivf_lloyd_recovers_blobs(spark, blobs_dir):
+    """Train 4 centroids from the 4 lowest-id vectors (all in blob 0 — a
+    bad init) and verify Lloyd moves them onto distinct blobs: after
+    training, nearest-centroid assignment must agree with blob labels for
+    >= 95% of vectors, i.e. the trainer genuinely relocates centroids."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.queries.registry import load
+    from kgpipe.queries.vectorops import _ivf_assign, ivf_train_centroids
+
+    e = load(spark, blobs_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(4).collect()
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in seed_rows]
+    trained = ivf_train_centroids(e, seeds, iters=8)
+
+    assigned = e.select(
+        "label",
+        F.array_min(_ivf_assign(e, trained)).getField("cell").alias("cell"),
+    ).toPandas()
+    # each blob label must map to exactly one dominant cell, all distinct
+    top_cell = assigned.groupby("label")["cell"].agg(
+        lambda s: s.value_counts().index[0])
+    assert len(set(top_cell)) == 4, top_cell
+    purity = (
+        assigned.groupby("label")["cell"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s)).min())
+    assert purity >= 0.95, purity
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+
+
+def test_cosine_near_dups_recovers_exactly_planted(spark):
+    """On the driver table the output must be EXACTLY the planted pairs
+    (i, i+1000000): every original meets its scaled copy (guaranteed
+    same-bucket, cosine >= 0.9996) and no near-uniform random pair crosses
+    the 0.99 threshold."""
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["cosine_near_dups"](spark, sf).collect()
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(out) == n
+    assert all(r.vec_b == r.vec_a + 1000000 for r in out)
+    assert all(r.cosine >= 0.999 for r in out)
