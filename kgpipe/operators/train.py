@@ -567,7 +567,18 @@ def label_transcripts_trained(spark: SparkSession, transcripts: DataFrame,
                               candidate_dict: pd.DataFrame) -> DataFrame:
     """Drop-in for ``label_transcripts`` using learned weights: the model
     (~9 MB) + gazetteer broadcast once, scalar Arrow UDF per batch —
-    identical output schema, so mentions/linking/triples run unchanged."""
+    identical output schema, so mentions/linking/triples run unchanged.
+
+    The perceptron decode is ~13x the per-row cost of the gazetteer
+    decoder, so a low-partition input (single-file fixture, one parquet
+    row group) serializes it: measured 40s single-core vs 3s spread at
+    sf0.1. Rebalance HERE — not in the scan, where it taxes every other
+    consumer (see read_transcripts) — and only when the input is under-
+    partitioned; at real scale the scan yields far more splits than
+    executors and this branch never fires."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < parallelism:
+        transcripts = transcripts.repartition(parallelism)
     gaz = build_gazetteer(candidate_dict)
     bc = spark.sparkContext.broadcast((model, gaz))
 

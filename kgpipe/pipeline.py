@@ -27,17 +27,17 @@ from kgpipe.schemas import TRANSCRIPTS
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """A1 scan: schema-enforced read; column pruning/pushdown via Catalyst.
 
-    If the scan yields fewer partitions than cores (single-file fixture,
-    one parquet row group — the labeling Arrow UDF would then run on ONE
-    core: measured 40s vs 3s for the trained decoder at sf0.1), rebalance
-    up front. At real scale this branch never fires — a 10^12-turn table
-    scans as orders of magnitude more splits than executors — so the
-    production plan stays shuffle-free here."""
-    df = spark.read.schema(TRANSCRIPTS).parquet(path)
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return df
+    Deliberately NO repartition here: a blanket rebalance-to-all-cores
+    shuffles the full text corpus before any work, and A/B runs on the
+    gazetteer pipeline at sf0.1 measured it as a pure loss (13-17s
+    without vs 23-61s with at local[32] — the extra shuffle plus this
+    host's >8-busy-thread contention). The one stage that genuinely
+    needs input parallelism — the trained-perceptron Arrow UDF, ~13x
+    the per-row cost of the gazetteer decoder — rebalances its own
+    input in ``label_transcripts_trained``. At real scale neither path
+    repartitions: a 10^12-turn table scans as orders of magnitude more
+    splits than executors."""
+    return spark.read.schema(TRANSCRIPTS).parquet(path)
 
 
 def salt(df: DataFrame, n_salts: int = 8) -> DataFrame:
