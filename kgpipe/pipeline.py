@@ -152,6 +152,14 @@ def run_pipeline_checkpointed(
     ``run_dir`` + unchanged input skips every completed bucket; a run
     interrupted mid-stage resumes from the last durably-committed bucket.
 
+    This path deliberately stages the EXPLODED ``linked`` intermediate
+    (not the fused turn digests): the durable cut between labeling and
+    extraction is what makes the expensive Arrow-UDF labeling stage
+    independently resumable, and the staged table doubles as the mentions
+    product. Output parity with the fused plain path holds because fused
+    == exploded is pinned by tests/test_relations_fused.py and
+    full == checkpointed by tests/test_checkpoint.py.
+
     Stage fingerprints chain (fp_{k+1} = h(fp_k, params)): the pipeline is
     deterministic, so a stage's output is fully determined by its input
     fingerprint — no re-stat of intermediate files needed, and any change

@@ -74,3 +74,36 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in p, p[:800]
+
+
+def test_fused_triples_shuffle_no_text(spark):
+    """The fused extractor's whole point: no Exchange in the triples plan
+    may carry the text column (the exploded reference plan has exactly
+    that text-bearing exchange — asserted as the negative control so this
+    test keeps discriminating if plan formatting changes)."""
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.pipeline import read_transcripts, run_pipeline
+
+    fx = materialize("unit")
+    t = read_transcripts(spark, os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+
+    def text_exchanges(mode: str) -> int:
+        out = run_pipeline(spark, t, cd, extractor=mode)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out["triples"].explain("formatted")
+        blocks = re.split(r"\n\(\d+\) ", buf.getvalue())
+        return sum(1 for b in blocks
+                   if b.split("\n")[0].startswith("Exchange")
+                   and re.search(r"\btext#", b))
+
+    assert text_exchanges("fused") == 0
+    assert text_exchanges("exploded") >= 1  # negative control
