@@ -97,7 +97,11 @@ def run_level(fixture: str, cpus: int) -> dict:
                  "--input", fixture, "--output", outdir,
                  "--master", f"local[{cpus}]"],
                 env=env, cwd=REPO, capture_output=True, text=True,
-                timeout=3600)
+                # 3h, not 1h: in a degraded host phase (memory triad at
+                # 0.38 GB/s vs tens healthy) the 2-core x256 leg runs
+                # 60-90+ min; a 1h cap killed a valid run mid-flight and
+                # the retry then burned a second hour before failing
+                timeout=int(os.environ.get("KGPIPE_LEVEL_TIMEOUT", "10800")))
             last = [ln for ln in proc.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
             rec = json.loads(last)
