@@ -217,9 +217,10 @@ def main() -> int:
             "32": (n32f.get("stage_counters") or {}).get("totals"),
         },
         "cpu_burn_control": cpu_burn_control(),
-        "note": "fresh JVM per level, identical job+input, best-of-2; "
-                "local[N] proxies an N-executor cluster (no real cluster "
-                "in sandbox)",
+        "note": f"fresh JVM per level, identical job+input, best of "
+                f"{runs} fresh run(s) merged with the persisted same-input "
+                f"best; local[N] proxies an N-executor cluster (no real "
+                f"cluster in sandbox)",
     }
     os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
     with open(os.path.join(REPO, ".bench", "scaling.json"), "w") as f:

@@ -268,55 +268,97 @@ def triples_from_digests(digests: DataFrame, window: int = 3,
     """Per-turn digests -> raw triples; same output contract as
     ``extract_triples``.
 
-    The ONLY shuffle is the conv_id window over the narrow digest rows
-    (plus the tiny per-chunk repair join when ``chunk`` is set — same
-    skew bound as the exploded path: a 10^6-turn hot conversation is
-    split into ``chunk``-turn tasks, and each chunk's first row recovers
-    its true predecessor from a one-row-per-chunk summary)."""
+    SINGLE-PASS plan: the digest subtree (scan -> labeler UDF -> digest
+    UDF) is consumed exactly ONCE. The first fused form consumed it three
+    times — window branch, per-chunk summary branch, intra-explode branch
+    — and Catalyst cannot ReusedExchange them (each branch prunes
+    different columns, so the exchange subplans differ): the x256 probe
+    showed the full scan+Arrow-UDF stage executing 2-3x (636s + 457s
+    executor CPU for one corpus). Two rewrites fix it structurally:
+
+    * **ghost-row chunk overlap instead of a summary join.** A digest row
+      within ``window`` turns of its chunk's end (``turn_idx % chunk >=
+      chunk - window`` — row-local, no aggregate needed) is duplicated
+      into the NEXT chunk as a non-emitting ghost. Ghost turn_idx values
+      are strictly below every real turn of that chunk, so after the
+      (conv_id, _chunk) window sort the ghosts sit at the front and only
+      the chunk's FIRST real row can see one via lag(1) — exactly the row
+      the old summary join repaired. Equivalence with the join form: the
+      old repair handed the first row the previous chunk's last digest
+      unconditionally and the ``>= turn_idx - window`` filter discarded
+      far-away subjects; ghosts only reach back ``window`` turns, so the
+      post-filter result is identical. Duplication is bounded by
+      window/chunk (~0.1% of rows), vs a join whose build side is one row
+      per (conv, chunk).
+    * **one explode instead of union(intra, cross).** Each post-window row
+      emits concat(its intra triples with conf 1.0, the cross triple as a
+      0-or-1-element array with conf 0.9) through a single explode —
+      union(A(d), B(d)) would have duplicated the d subtree again.
+
+    The ONLY shuffle is the conv_id window over the narrow digest rows.
+    Output equality with the exploded reference plan (and chunk=None) is
+    pinned by tests/test_relations_fused.py."""
     if chunk is None:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        d = (digests
+        d = (digests.withColumn("_ghost", F.lit(False))
              .withColumn("prev_turn", F.lag("turn_idx").over(w))
              .withColumn("prev_last", F.lag("last_ent").over(w)))
     else:
         if window >= chunk:
             raise ValueError("chunk must exceed the turn window")
-        d = digests.withColumn(
-            "_chunk", (F.col("turn_idx") / F.lit(chunk)).cast("long"))
+        own = F.struct(
+            (F.col("turn_idx") / F.lit(chunk)).cast("long").alias("c"),
+            F.lit(False).alias("g"))
+        ghost = F.struct(
+            ((F.col("turn_idx") / F.lit(chunk)).cast("long") + 1).alias("c"),
+            F.lit(True).alias("g"))
+        near_end = (F.col("turn_idx") % F.lit(chunk)) >= F.lit(chunk - window)
+        d = (digests
+             .withColumn("_cg", F.explode(
+                 F.when(near_end, F.array(own, ghost))
+                  .otherwise(F.array(own))))
+             .withColumn("_chunk", F.col("_cg.c"))
+             .withColumn("_ghost", F.col("_cg.g"))
+             .drop("_cg"))
         w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
         d = (d
              .withColumn("prev_turn", F.lag("turn_idx").over(w))
              .withColumn("prev_last", F.lag("last_ent").over(w)))
-        summary = (d.groupBy("conv_id", "_chunk").agg(
-            F.max_by(F.struct(F.col("turn_idx").alias("b_turn"),
-                              F.col("last_ent").alias("b_ent")),
-                     F.col("turn_idx")).alias("_b"))
-            .select("conv_id", (F.col("_chunk") + 1).alias("_chunk"),
-                    F.col("_b.b_turn").alias("b_turn"),
-                    F.col("_b.b_ent").alias("b_ent")))
-        d = (d.join(summary, ["conv_id", "_chunk"], "left")
-             .withColumn("prev_turn", F.coalesce("prev_turn", "b_turn"))
-             .withColumn("prev_last", F.coalesce("prev_last", "b_ent"))
-             .drop("b_turn", "b_ent", "_chunk"))
 
-    intra = (digests
-             .select("conv_id", "turn_idx",
-                     F.explode("intra").alias("t"))
-             .select(F.col("t.subj").alias("subj"),
-                     F.col("t.pred").alias("pred"),
-                     F.col("t.obj").alias("obj"),
-                     "conv_id", "turn_idx",
-                     F.lit(1.0).cast("float").alias("conf")))
-    cross = (d.filter(
-        F.col("first_pred").isNotNull()
+    cross_ok = (
+        ~F.col("_ghost")
+        & F.col("first_pred").isNotNull()
         & F.col("prev_turn").isNotNull()
-        & (F.col("prev_turn") >= F.col("turn_idx") - window))
-        .select(F.col("prev_last").alias("subj"),
-                F.col("first_pred").alias("pred"),
-                F.col("first_ent").alias("obj"),
-                "conv_id", "turn_idx",
-                F.lit(0.9).cast("float").alias("conf")))
-    return intra.unionByName(cross)
+        & (F.col("prev_turn") >= F.col("turn_idx") - window)
+    )
+    conf_f = lambda v: F.lit(v).cast("float")  # noqa: E731
+    empty = F.array().cast(
+        "array<struct<subj:string,pred:string,obj:string,conf:float>>")
+    # coalesce: a null intra would null the whole concat and silently drop
+    # the row's cross triple with it (digest rows always carry [], but the
+    # guard costs nothing and the failure mode is silent data loss)
+    intra_items = F.when(
+        ~F.col("_ghost"),
+        F.coalesce(
+            F.transform("intra", lambda x: F.struct(
+                x["subj"].alias("subj"), x["pred"].alias("pred"),
+                x["obj"].alias("obj"), conf_f(1.0).alias("conf"))),
+            empty),
+    ).otherwise(empty)
+    cross_items = F.when(cross_ok, F.array(F.struct(
+        F.col("prev_last").alias("subj"),
+        F.col("first_pred").alias("pred"),
+        F.col("first_ent").alias("obj"),
+        conf_f(0.9).alias("conf"),
+    ))).otherwise(empty)
+    return (d
+            .select("conv_id", "turn_idx",
+                    F.explode(F.concat(intra_items, cross_items)).alias("t"))
+            .select(F.col("t.subj").alias("subj"),
+                    F.col("t.pred").alias("pred"),
+                    F.col("t.obj").alias("obj"),
+                    "conv_id", "turn_idx",
+                    F.col("t.conf").alias("conf")))
 
 
 def extract_triples_fused(spark: SparkSession, labeled: DataFrame,

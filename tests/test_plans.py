@@ -107,3 +107,27 @@ def test_fused_triples_shuffle_no_text(spark):
 
     assert text_exchanges("fused") == 0
     assert text_exchanges("exploded") >= 1  # negative control
+
+
+def test_fused_triples_single_corpus_pass(spark):
+    """The fused triples plan must scan the transcripts (and hence run the
+    labeler + digest Arrow UDFs) exactly ONCE. The first fused form
+    consumed the digest subtree from three branches (window, per-chunk
+    summary join, intra explode) and Catalyst could not ReusedExchange
+    them because each branch pruned different columns — the x256 probe
+    measured the full scan+UDF stage executing 2-3x (636s + 457s executor
+    CPU for one corpus). The ghost-row chunk overlap + single
+    concat/explode emission keep the digest subtree single-consumer."""
+    import os
+
+    import pandas as pd
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.pipeline import read_transcripts, run_pipeline
+
+    fx = materialize("unit")
+    t = read_transcripts(spark, os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+    out = run_pipeline(spark, t, cd, extractor="fused")
+    p = out["triples"]._jdf.queryExecution().executedPlan().toString()
+    assert p.count("transcripts.parquet") == 1, p[:1200]
