@@ -185,7 +185,12 @@ def canonicalize(raw_triples: DataFrame, canon_map: DataFrame) -> DataFrame:
             "conf",
         )
     )
-    return t.dropDuplicates(["subj", "pred", "obj", "conv_id", "turn_idx"])
+    # groupBy + max(conf), NOT dropDuplicates: when the same triple arises
+    # both intra-turn (conf 1.0) and cross-turn (conf 0.9), dropDuplicates
+    # keeps a plan-dependent arbitrary row; max is deterministic across
+    # partitionings and matches the fused path's per-turn dedup rule.
+    return t.groupBy("subj", "pred", "obj", "conv_id", "turn_idx").agg(
+        F.max("conf").alias("conf"))
 
 
 # --------------------------------------------------------------------------

@@ -182,7 +182,8 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
 
 
 def turn_digests(spark: SparkSession, labeled: DataFrame,
-                 candidate_dict, predicates=None) -> DataFrame:
+                 candidate_dict, predicates=None,
+                 canon: dict | None = None) -> DataFrame:
     """labeled transcripts -> one narrow row per mention-bearing turn:
 
     (conv_id, turn_idx, intra: array<(subj, pred, obj)>, first_ent,
@@ -203,6 +204,15 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
     fixture generator's python ``_norm`` (lower + whitespace collapse);
     the JVM ``norm_surface`` agrees on space-delimited text, which the
     alias registry guarantees for its side.
+
+    ``canon`` (entity_id -> canonical_id, driver-side dict): when given,
+    it is composed into the link map HERE, at broadcast-build time — the
+    digests then carry canonical ids everywhere and the downstream
+    canonicalize stage (two broadcast joins + a corpus-scale dedup
+    exchange) disappears entirely. The composition is free: the canon map
+    derives from the same broadcast-sized dictionary (operators/canon.py
+    build_canon_map_local), so rewriting the link map's values is a
+    driver-side dict pass, not a join.
     """
 
     from kgpipe.operators.linker import top1_dict
@@ -213,6 +223,8 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
         (a, c): e for a, c, e in
         zip(t1["alias"], t1["ent_class"], t1["entity_id"])
     }
+    if canon:
+        link_map = {k: canon.get(v, v) for k, v in link_map.items()}
     pred_map = predicates_dict(predicates)
     bc = spark.sparkContext.broadcast((link_map, pred_map))
 
@@ -264,7 +276,8 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
 
 
 def triples_from_digests(digests: DataFrame, window: int = 3,
-                         chunk: int | None = 4096) -> DataFrame:
+                         chunk: int | None = 4096,
+                         dedup: bool = False) -> DataFrame:
     """Per-turn digests -> raw triples; same output contract as
     ``extract_triples``.
 
@@ -351,9 +364,26 @@ def triples_from_digests(digests: DataFrame, window: int = 3,
         F.col("first_ent").alias("obj"),
         conf_f(0.9).alias("conf"),
     ))).otherwise(empty)
+    items = F.concat(intra_items, cross_items)
+    if dedup:
+        # The triple dedup key is (subj, pred, obj, conv_id, turn_idx) —
+        # it INCLUDES the turn, so duplicates are turn-local by definition
+        # and each turn is exactly one pre-explode row here. Dedup the
+        # per-turn array instead of a corpus-scale dropDuplicates
+        # exchange: sort desc (equal (s,p,o) runs become adjacent with
+        # conf DESC), keep each run's first element — i.e. MAX conf, a
+        # deterministic rule where dropDuplicates kept a plan-dependent
+        # arbitrary row when the same triple arose both intra (1.0) and
+        # cross (0.9). All JVM higher-order functions, no shuffle.
+        d = d.withColumn("_items", F.sort_array(items, asc=False))
+        arr = F.col("_items")
+        items = F.filter(arr, lambda x, i: (i == F.lit(0)) | (
+            (x["subj"] != F.get(arr, i - 1)["subj"])
+            | (x["pred"] != F.get(arr, i - 1)["pred"])
+            | (x["obj"] != F.get(arr, i - 1)["obj"])))
     return (d
             .select("conv_id", "turn_idx",
-                    F.explode(F.concat(intra_items, cross_items)).alias("t"))
+                    F.explode(items).alias("t"))
             .select(F.col("t.subj").alias("subj"),
                     F.col("t.pred").alias("pred"),
                     F.col("t.obj").alias("obj"),
@@ -364,8 +394,17 @@ def triples_from_digests(digests: DataFrame, window: int = 3,
 def extract_triples_fused(spark: SparkSession, labeled: DataFrame,
                           candidate_dict, window: int = 3,
                           chunk: int | None = 4096,
-                          predicates=None) -> DataFrame:
-    """labeled -> raw triples via the narrow-shuffle digest path."""
+                          predicates=None,
+                          canon: dict | None = None,
+                          dedup: bool = False) -> DataFrame:
+    """labeled -> raw triples via the narrow-shuffle digest path.
+
+    With ``canon`` (entity_id -> canonical_id dict) and ``dedup=True`` the
+    output is the FINAL canonical triple table — link map composed with
+    the canon map at broadcast-build time, per-turn max-conf dedup — and
+    the plan's only shuffle is the narrow digest window. Defaults produce
+    pre-canonicalization raw triples, identical to ``extract_triples``."""
     return triples_from_digests(
-        turn_digests(spark, labeled, candidate_dict, predicates),
-        window=window, chunk=chunk)
+        turn_digests(spark, labeled, candidate_dict, predicates,
+                     canon=canon),
+        window=window, chunk=chunk, dedup=dedup)

@@ -122,11 +122,33 @@ def run_pipeline(
         raw_triples = extract_triples_fused(
             spark, labeled, candidate_dict, window=window,
             predicates=predicates)
+        if len(candidate_dict) <= LOCAL_CANON_MAX_DICT:
+            # single-shuffle product path: the canon map (driver-side,
+            # dict-derived, broadcast-sized by construction) is composed
+            # into the digest UDF's link map and dedup happens per turn —
+            # the generic canonicalize stage's two broadcast joins and
+            # corpus-scale dedup exchange vanish. `raw_triples` above
+            # stays the pre-canonicalization form (lazy; consumers such
+            # as the streaming-parity tests pay for it only if they
+            # evaluate it).
+            from kgpipe.operators.canon import build_canon_map_local
+
+            canon_pdf = build_canon_map_local(candidate_dict)
+            canon_d = dict(zip(canon_pdf["entity_id"],
+                               canon_pdf["canonical_id"]))
+            triples = extract_triples_fused(
+                spark, labeled, candidate_dict, window=window,
+                predicates=predicates, canon=canon_d, dedup=True)
+            canon_map = spark.createDataFrame(
+                canon_pdf, schema="entity_id string, canonical_id string")
+        else:
+            canon_map = build_canon_map(dict_df, algo=cc_algo)
+            triples = canonicalize(raw_triples, canon_map)
     else:
         raw_triples = extract_triples(spark, linked, window=window,
                                       predicates=predicates)
-    canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
-    triples = canonicalize(raw_triples, canon_map)
+        canon_map = canon_map_for(spark, candidate_dict, dict_df, cc_algo)
+        triples = canonicalize(raw_triples, canon_map)
     return {
         "labeled": labeled,
         "mentions": mentions,

@@ -131,3 +131,9 @@ def test_fused_triples_single_corpus_pass(spark):
     out = run_pipeline(spark, t, cd, extractor="fused")
     p = out["triples"]._jdf.queryExecution().executedPlan().toString()
     assert p.count("transcripts.parquet") == 1, p[:1200]
+    # ... and the ONLY shuffle is the narrow digest window: with the canon
+    # map composed into the link map and dedup done per turn, the generic
+    # canonicalize stage's corpus-scale dedup exchange is gone
+    import re
+
+    assert len(re.findall(r"\bExchange ", p)) == 1, p[:1200]

@@ -188,7 +188,42 @@ def test_fused_in_pipeline_matches_exploded_pipeline(
         os.path.join(unit_fixture_dir, "candidate_dict.parquet"))
     a = run_pipeline(spark, t, cd, extractor="fused")["triples"]
     b = run_pipeline(spark, t, cd, extractor="exploded")["triples"]
-    sel = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    # conf included: both dedup rules are deterministic max-conf now (the
+    # fused per-turn array dedup and canonicalize's groupBy+max)
+    sel = ["subj", "pred", "obj", "conv_id", "turn_idx", "conf"]
     ra = sorted(map(tuple, a.select(*sel).collect()))
     rb = sorted(map(tuple, b.select(*sel).collect()))
     assert ra == rb and ra
+
+
+def test_per_turn_dedup_keeps_max_conf(spark):
+    """When the SAME canonical triple arises both intra-turn (conf 1.0)
+    and cross-turn (conf 0.9) in one turn, exactly one row must survive,
+    deterministically carrying conf 1.0 — in the fused per-turn array
+    dedup AND in canonicalize's groupBy+max (dropDuplicates kept a
+    plan-dependent arbitrary row)."""
+    from kgpipe.operators.canon import canonicalize
+    from kgpipe.operators.relations import triples_from_digests
+
+    digests = spark.createDataFrame(
+        [("c1", 0, [], "X", None, "X"),
+         # turn 1: first mention E with a prefix predicate p (cross ->
+         # (X, p, E) conf 0.9) AND an intra pair producing (X, p, E) 1.0
+         ("c1", 1, [{"subj": "X", "pred": "p", "obj": "E"}], "E", "p", "E")],
+        "conv_id string, turn_idx int, "
+        "intra array<struct<subj:string,pred:string,obj:string>>, "
+        "first_ent string, first_pred string, last_ent string")
+
+    for chunk in (None, 4096):
+        got = triples_from_digests(digests, window=3, chunk=chunk,
+                                   dedup=True).collect()
+        assert len(got) == 1, got
+        assert got[0].conf == pytest.approx(1.0)
+
+    # same rule through the generic path: raw (undeduped) triples -> canonicalize
+    raw = triples_from_digests(digests, window=3, dedup=False)
+    assert raw.count() == 2
+    empty_map = spark.createDataFrame(
+        [], "entity_id string, canonical_id string")
+    out = canonicalize(raw, empty_map).collect()
+    assert len(out) == 1 and out[0].conf == pytest.approx(1.0)
