@@ -183,7 +183,9 @@ def extract_triples(spark: SparkSession, linked: DataFrame,
 
 def turn_digests(spark: SparkSession, labeled: DataFrame,
                  candidate_dict, predicates=None,
-                 canon: dict | None = None) -> DataFrame:
+                 canon: dict | None = None,
+                 inline_labeler: str | None = None,
+                 model=None) -> DataFrame:
     """labeled transcripts -> one narrow row per mention-bearing turn:
 
     (conv_id, turn_idx, intra: array<(subj, pred, obj)>, first_ent,
@@ -213,6 +215,19 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
     derives from the same broadcast-sized dictionary (operators/canon.py
     build_canon_map_local), so rewriting the link map's values is a
     driver-side dict pass, not a join.
+
+    ``inline_labeler``: when ``"gaz"`` or ``"trained"``, sequence labeling
+    runs INSIDE this UDF (``labeled`` may then be the bare transcripts) —
+    one ArrowEvalPython node instead of two chained ones. Spark cannot
+    merge dependent Python UDFs, so the labeled->digest form ships every
+    turn's text across the JVM<->Python boundary TWICE and the span
+    structs once more on the way back; job CPU counters showed the
+    executor threads ~87% idle waiting on exactly this traffic. Inlining
+    halves the Arrow volume: text crosses once, spans never leave Python.
+    ``"trained"`` uses ``model`` (operators/train.TrainedLabeler) with the
+    same decode the standalone trained labeler uses. Default ``None``
+    keeps the two-UDF form (consumes a ``spans`` column) — the shape the
+    standalone-labeled intermediates already have.
     """
 
     from kgpipe.operators.linker import top1_dict
@@ -226,53 +241,95 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
     if canon:
         link_map = {k: canon.get(v, v) for k, v in link_map.items()}
     pred_map = predicates_dict(predicates)
-    bc = spark.sparkContext.broadcast((link_map, pred_map))
 
+    gaz = trans = None
+    if inline_labeler is not None:
+        from kgpipe.operators.labeler import build_gazetteer, build_transitions
+
+        gaz = build_gazetteer(candidate_dict)
+        trans = build_transitions()
+        if inline_labeler == "trained" and model is None:
+            raise ValueError("inline_labeler='trained' needs a model")
+    bc = spark.sparkContext.broadcast(
+        (link_map, pred_map, gaz, trans, model, inline_labeler))
+
+    # The UDF returns a 0-or-1-element ARRAY per turn and the caller
+    # explodes it, instead of a struct + `last_ent IS NOT NULL` filter:
+    # PushDownPredicates rewrites such a filter below the projection by
+    # substituting the UDF call into the predicate, and ExtractPythonUDFs
+    # then materializes TWO ArrowEvalPython nodes — the whole digest (and
+    # any inlined labeler) executed twice per row. explode() drops empty
+    # arrays natively, there is no filter to push, and the plan gate
+    # (tests/test_plans.py) pins exactly one ArrowEvalPython.
     out_type = (
+        "array<struct<"
         "intra: array<struct<subj:string,pred:string,obj:string>>, "
-        "first_ent: string, first_pred: string, last_ent: string"
+        "first_ent: string, first_pred: string, last_ent: string>>"
     )
 
     def _n(s: str) -> str:
         return " ".join(s.lower().split())
 
-    @F.pandas_udf(f"struct<{out_type}>")
-    def digest(texts: pd.Series, spans_col: pd.Series) -> pd.DataFrame:
-        link, preds = bc.value
-        intra_o, first_e, first_p, last_e = [], [], [], []
+    def _digest_batch(texts: pd.Series, spans_col) -> pd.Series:
+        link, preds, g, tr, mdl, mode = bc.value
+        if mode == "gaz":
+            from kgpipe.operators.labeler import label_texts
+
+            spans_col = label_texts(texts, g, tr)
+        elif mode == "trained":
+            from kgpipe.operators.train import decode_spans
+
+            spans_col = decode_spans(texts, mdl, g)
+        out: list[list[dict]] = []
         for text, spans in zip(texts, spans_col):
             linked = []
             if text is not None and spans is not None:
+                # struct rows from the spans column expose ["start"] etc.;
+                # the in-process labelers yield (start, end, cls, score)
+                # tuples — normalize without copying when already tuples
                 sp = sorted(
-                    ((s["start"], s["end"], s["ent_type"]) for s in spans),
+                    ((s[0], s[1], s[2]) if isinstance(s, tuple)
+                     else (s["start"], s["end"], s["ent_type"])
+                     for s in spans),
                     key=lambda t: (t[0], t[1]))
                 for st, en, ty in sp:
                     ent = link.get((_n(text[st:en]), ty))
                     if ent is not None:
                         linked.append((st, en, ent))
             if not linked:
-                intra_o.append(None); first_e.append(None)
-                first_p.append(None); last_e.append(None)
+                out.append([])
                 continue
             intra = []
             for (ps, pe, pent), (cs, ce, cent) in zip(linked, linked[1:]):
                 pr = preds.get(_n(text[pe:cs]))
                 if pr is not None:
                     intra.append({"subj": pent, "pred": pr, "obj": cent})
-            intra_o.append(intra)
-            first_e.append(linked[0][2])
-            first_p.append(preds.get(_n(text[:linked[0][0]])))
-            last_e.append(linked[-1][2])
-        return pd.DataFrame({
-            "intra": intra_o, "first_ent": first_e,
-            "first_pred": first_p, "last_ent": last_e,
-        })
+            out.append([{
+                "intra": intra,
+                "first_ent": linked[0][2],
+                "first_pred": preds.get(_n(text[:linked[0][0]])),
+                "last_ent": linked[-1][2],
+            }])
+        return pd.Series(out, index=texts.index)
 
-    d = labeled.select(
-        "conv_id", "turn_idx", digest("text", "spans").alias("d"))
-    return (d.filter(F.col("d.last_ent").isNotNull())
-            .select("conv_id", "turn_idx", "d.intra", "d.first_ent",
-                    "d.first_pred", "d.last_ent"))
+    if inline_labeler is None:
+        @F.pandas_udf(out_type)
+        def digest(texts: pd.Series, spans_col: pd.Series) -> pd.Series:
+            return _digest_batch(texts, spans_col)
+
+        d = labeled.select(
+            "conv_id", "turn_idx",
+            F.explode(digest("text", "spans")).alias("d"))
+    else:
+        @F.pandas_udf(out_type)
+        def digest_inline(texts: pd.Series) -> pd.Series:
+            return _digest_batch(texts, None)
+
+        d = labeled.select(
+            "conv_id", "turn_idx",
+            F.explode(digest_inline("text")).alias("d"))
+    return d.select("conv_id", "turn_idx", "d.intra", "d.first_ent",
+                    "d.first_pred", "d.last_ent")
 
 
 def triples_from_digests(digests: DataFrame, window: int = 3,
@@ -396,15 +453,20 @@ def extract_triples_fused(spark: SparkSession, labeled: DataFrame,
                           chunk: int | None = 4096,
                           predicates=None,
                           canon: dict | None = None,
-                          dedup: bool = False) -> DataFrame:
+                          dedup: bool = False,
+                          inline_labeler: str | None = None,
+                          model=None) -> DataFrame:
     """labeled -> raw triples via the narrow-shuffle digest path.
 
     With ``canon`` (entity_id -> canonical_id dict) and ``dedup=True`` the
     output is the FINAL canonical triple table — link map composed with
     the canon map at broadcast-build time, per-turn max-conf dedup — and
     the plan's only shuffle is the narrow digest window. Defaults produce
-    pre-canonicalization raw triples, identical to ``extract_triples``."""
+    pre-canonicalization raw triples, identical to ``extract_triples``.
+    ``inline_labeler``/``model``: run labeling inside the digest UDF (see
+    turn_digests) — ``labeled`` may then be the bare transcripts."""
     return triples_from_digests(
         turn_digests(spark, labeled, candidate_dict, predicates,
-                     canon=canon),
+                     canon=canon, inline_labeler=inline_labeler,
+                     model=model),
         window=window, chunk=chunk, dedup=dedup)

@@ -119,9 +119,23 @@ def run_pipeline(
     if extractor == "fused":
         from kgpipe.operators.relations import extract_triples_fused
 
+        # Labeling runs INSIDE the digest UDF on the product path: the
+        # labeled->digest two-UDF chain cannot be merged by Spark
+        # (dependent Python UDFs), so it ships every turn's text across
+        # the JVM<->Python boundary twice and the span structs back in
+        # between. Inline = one ArrowEvalPython, half the Arrow traffic.
+        # The trained path keeps its under-partitioned-input rebalance
+        # (the perceptron decode is ~13x the gazetteer's per-row cost).
+        inline_src = transcripts
+        if labeler_model is not None:
+            parallelism = spark.sparkContext.defaultParallelism
+            if inline_src.rdd.getNumPartitions() < parallelism:
+                inline_src = inline_src.repartition(parallelism)
+        inline_mode = "gaz" if labeler_model is None else "trained"
         raw_triples = extract_triples_fused(
-            spark, labeled, candidate_dict, window=window,
-            predicates=predicates)
+            spark, inline_src, candidate_dict, window=window,
+            predicates=predicates, inline_labeler=inline_mode,
+            model=labeler_model)
         if len(candidate_dict) <= LOCAL_CANON_MAX_DICT:
             # single-shuffle product path: the canon map (driver-side,
             # dict-derived, broadcast-sized by construction) is composed
@@ -137,8 +151,9 @@ def run_pipeline(
             canon_d = dict(zip(canon_pdf["entity_id"],
                                canon_pdf["canonical_id"]))
             triples = extract_triples_fused(
-                spark, labeled, candidate_dict, window=window,
-                predicates=predicates, canon=canon_d, dedup=True)
+                spark, inline_src, candidate_dict, window=window,
+                predicates=predicates, canon=canon_d, dedup=True,
+                inline_labeler=inline_mode, model=labeler_model)
             canon_map = spark.createDataFrame(
                 canon_pdf, schema="entity_id string, canonical_id string")
         else:

@@ -137,3 +137,8 @@ def test_fused_triples_single_corpus_pass(spark):
     import re
 
     assert len(re.findall(r"\bExchange ", p)) == 1, p[:1200]
+    # ... and labeling is inlined into the digest UDF: ONE ArrowEvalPython
+    # node, so each turn's text crosses the JVM<->Python boundary once
+    # (the chained labeler->digest form shipped it twice plus the span
+    # structs back in between — Spark cannot merge dependent Python UDFs)
+    assert len(re.findall(r"ArrowEvalPython", p)) == 1, p[:1200]
