@@ -320,7 +320,7 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
     """
     n_convs, avg_turns = SCALES[scale]
     key = json.dumps({"scale": scale, "n": n_convs, "t": avg_turns,
-                      "seed": seed, "v": 4})
+                      "seed": seed, "v": 5})
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
     out = os.path.join(base_dir, f"{scale}-{tag}")
     marker = os.path.join(out, "_DONE")
@@ -332,8 +332,26 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
     for name, df in tables.items():
         # microsecond timestamps: Spark's vectorized parquet reader rejects
         # TIMESTAMP(NANOS) columns
-        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False,
-                      coerce_timestamps="us", allow_truncated_timestamps=True)
+        path = os.path.join(out, f"{name}.parquet")
+        # transcripts: write a DIRECTORY of part files, not one small file.
+        # Spark assigns scan tasks by file byte ranges, so a single
+        # pandas-written ~25 MB file is ONE task no matter the core count —
+        # an artifact of the fixture, not of the design (a real
+        # transcripts table scans as far more splits than executors, which
+        # is exactly what the pipeline's no-repartition scan relies on).
+        # Part order is lexicographic, so row order — and therefore the
+        # training sample and every content fingerprint — is unchanged.
+        n_parts = min(64, max(1, len(df) // 2000)) if name == "transcripts" \
+            else 1
+        if n_parts > 1:
+            os.makedirs(path, exist_ok=True)
+            for i, chunk in enumerate(np.array_split(df, n_parts)):
+                chunk.to_parquet(
+                    os.path.join(path, f"part-{i:05d}.parquet"), index=False,
+                    coerce_timestamps="us", allow_truncated_timestamps=True)
+        else:
+            df.to_parquet(path, index=False, coerce_timestamps="us",
+                          allow_truncated_timestamps=True)
     with open(marker, "w") as f:
         f.write(tag)
     return out
