@@ -28,5 +28,17 @@ def extract_mentions(labeled: DataFrame, keep_text: bool = True) -> DataFrame:
     ]
     if keep_text:
         cols.append("text")
-    return labeled.select("conv_id", "turn_idx", "text",
-                          F.explode("spans").alias("sp")).select(*cols)
+    # explode_outer + IS NOT NULL, not plain explode: the optimizer's
+    # InferFiltersFromGenerate adds a size(spans)>0 filter before a plain
+    # explode, and predicate pushdown then substitutes the span-producing
+    # Python UDF call INTO that filter — the labeler executed twice per
+    # row (two ArrowEvalPython nodes on one scan). explode_outer infers no
+    # such filter, and the null-sp filter references only the Generate's
+    # own output, which cannot be pushed below it. Row set is identical:
+    # empty/null span arrays yield sp = NULL, which the filter drops just
+    # like explode's native skip.
+    return (labeled
+            .select("conv_id", "turn_idx", "text",
+                    F.explode_outer("spans").alias("sp"))
+            .filter(F.col("sp").isNotNull())
+            .select(*cols))

@@ -142,3 +142,29 @@ def test_fused_triples_single_corpus_pass(spark):
     # (the chained labeler->digest form shipped it twice plus the span
     # structs back in between — Spark cannot merge dependent Python UDFs)
     assert len(re.findall(r"ArrowEvalPython", p)) == 1, p[:1200]
+
+
+def test_labeler_udf_executes_once_in_mention_plans(spark):
+    """Each intermediate plan must run the labeler UDF exactly once per
+    scan. Plain explode over a UDF-derived span column triggers
+    InferFiltersFromGenerate + predicate pushdown, which substitutes the
+    UDF call into the inferred size()>0 filter — a second ArrowEvalPython
+    executing the whole labeler again per row (extract_mentions uses
+    explode_outer + an IS NOT NULL filter on the Generate output, which
+    cannot be pushed below it)."""
+    import os
+    import re
+
+    import pandas as pd
+
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.pipeline import read_transcripts, run_pipeline
+
+    fx = materialize("unit")
+    t = read_transcripts(spark, os.path.join(fx, "transcripts.parquet"))
+    cd = pd.read_parquet(os.path.join(fx, "candidate_dict.parquet"))
+    out = run_pipeline(spark, t, cd, extractor="fused")
+    for name in ("mentions", "linked"):
+        p = out[name]._jdf.queryExecution().executedPlan().toString()
+        assert p.count("transcripts.parquet") == 1, (name, p[:900])
+        assert len(re.findall(r"ArrowEvalPython", p)) == 1, (name, p[:900])
