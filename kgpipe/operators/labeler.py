@@ -207,11 +207,16 @@ def viterbi_batch(em_pad: np.ndarray, trans: np.ndarray) -> np.ndarray:
 
     score = em_pad[:, 0, :] + start_pen[None, :]
     back = np.zeros((n_rows_sub, lmax, N_TAGS), dtype=np.int8)
+    # (cur, prev) layout so the per-step argmax scans the CONTIGUOUS last
+    # axis — measured 10-20% faster than argmax(axis=1) over the strided
+    # (R, prev, cur) form, with identical results (the prev axis is
+    # scanned in the same ascending order, so argmax tie-breaks agree)
+    transT = np.ascontiguousarray(trans.T)
     for t in range(1, lmax):
-        # (R, T_prev, 1) + (T_prev, T_cur) -> best prev per cur
-        cand = score[:, :, None] + trans[None, :, :]
-        best_prev = cand.argmax(axis=1)
-        score = np.take_along_axis(cand, best_prev[:, None, :], axis=1)[:, 0, :]
+        cand = score[:, None, :] + transT[None, :, :]  # (R, cur, prev)
+        best_prev = cand.argmax(axis=2)
+        score = np.take_along_axis(
+            cand, best_prev[:, :, None], axis=2)[:, :, 0]
         score = score + em_pad[:, t, :]
         back[:, t, :] = best_prev
 
