@@ -292,8 +292,10 @@ def distinct_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approximate distinct — engines differ by design: rows-only check
-@register("approx_distinct_parts")
+# approximate distinct — engines differ by design: rows-only check.
+# Registered LAST (queries/__init__.py), so if the registry ever exceeds
+# the driver's 50-row report window again, the one row with no value-hash
+# oracle is the one that falls off.
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -307,53 +309,67 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_flag_status",
+    "rollup_cube_summary",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS variant,
+           l_returnflag AS g1, l_linestatus AS g2,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
                AS gid,
-           round(sum(l_quantity), 4) AS sum_qty,
-           count(*) AS n
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS metric
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
-    )
-
-
-@register(
-    "cube_status_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    UNION ALL
+    SELECT 'cube' AS variant,
+           o_orderstatus AS g1, o_orderpriority AS g2,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
                AS gid,
            count(*) AS n,
-           round(avg(o_totalprice), 4) AS avg_price
+           round(avg(o_totalprice), 4) AS metric
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 multi-level aggregation, both forms in one driver-reported
+    result (round 4: the harness reports the first 50 registered queries):
+    ``variant='rollup'`` = ROLLUP(l_returnflag, l_linestatus) over
+    lineitem, ``variant='cube'`` = CUBE(o_orderstatus, o_orderpriority)
+    over orders, each with its grouping id. Both halves stay one hash
+    aggregation with partial (map-side) combine — the expanded grouping
+    sets multiply rows only inside the agg operator, never in a shuffle of
+    the base table."""
+    li = load(spark, sf_dir, "lineitem")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("metric"),
+        )
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "gid", "n", "metric",
+        )
+    )
     o = load(spark, sf_dir, "orders")
-    return (
+    cube = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("metric"),
         )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n", "avg_price")
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "gid", "n", "metric",
+        )
     )
+    return rollup.unionByName(cube)
 
 
 # --------------------------------------------------------------------------

@@ -85,25 +85,106 @@ def _cached(spark: SparkSession, key: tuple, build) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# exact dedup: hash-groupBy, keep min doc_id
+# exact dedup, both keep policies in one driver-reported query (round 4:
+# the harness reports the first 50 registered queries):
+#
+# * policy='exact_min'  — group on md5(raw text), keep min doc_id: the
+#   classic hash-groupBy exact dedup. Members of a group are byte-identical
+#   so any policy richer than a total-order tiebreak is vacuous here.
+# * policy='best_norm'  — group on md5(NORMALIZED text) (lowercase, collapse
+#   runs of spaces, trim), keep the highest-QUALITY member (stopword ratio
+#   of the raw text, doc_id ascending as the tiebreak). The variant corpus
+#   plants an UPPER-CASED copy of every document at the SMALLER doc_id, so
+#   the quality ranking must override the id tiebreak to pick the clean
+#   copy — the policy is load-bearing (pinned by
+#   tests/test_textops.py::test_dedup_best_norm_quality_is_load_bearing).
+#
+# Both halves are one shuffle each on the group hash; the quality score is
+# a narrow map computed before the shuffle, so the window ranks
+# precomputed scalars.
+
+_STOP_IN = ",".join("'" + w + "'" for w in STOPWORDS)
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))"
+_RATIO_SQL = f"""CAST(len(list_filter(string_split(text, ' '),
+        w -> w IN ({_STOP_IN}))) AS DOUBLE) / len(string_split(text, ' '))"""
+
+# upper-cased (stopword-free => low-quality) copy at the SMALL id, the
+# original at id + 1000000
+_VARIANT_CORPUS_SQL = """
+    (SELECT doc_id, upper(text) AS text FROM documents
+     UNION ALL
+     SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+"""
+
+
+def _variant_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select("doc_id", F.upper("text").alias("text")).unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def _stopword_ratio(text_col) -> Column:
+    toks = F.split(text_col, " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def keep_best_norm(corpus: DataFrame, quality: Column) -> DataFrame:
+    """One keeper per normalized-text group, ranked by ``quality`` desc
+    then doc_id asc. ``quality`` is any scalar expression over the raw
+    ``text`` column (the test swaps it for a constant to prove the
+    ranking, not the tiebreak, decides)."""
+    norm = F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+    scored = corpus.select(
+        norm.alias("group_key"),
+        F.col("doc_id"),
+        quality.alias("q"),
+    )
+    w = Window.partitionBy("group_key")
+    wr = Window.partitionBy("group_key").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("group_key", F.col("doc_id").cast("long").alias("keep_id"),
+                "n_copies")
+    )
 
 
 @register(
-    "dedup_exact",
+    "dedup_keep_best",
     oracle=f"""
-    SELECT md5(text) AS text_md5,
+    SELECT 'exact_min' AS policy,
+           md5(text) AS group_key,
            CAST(min(doc_id) AS BIGINT) AS keep_id,
            count(*) AS n_copies
     FROM {_DUP_CORPUS_SQL} corpus
     GROUP BY md5(text)
+    UNION ALL
+    SELECT 'best_norm' AS policy, group_key, keep_id, n_copies FROM (
+      SELECT {_NORM_SQL} AS group_key,
+             CAST(doc_id AS BIGINT) AS keep_id,
+             count(*) OVER (PARTITION BY {_NORM_SQL}) AS n_copies,
+             row_number() OVER (
+               PARTITION BY {_NORM_SQL}
+               ORDER BY {_RATIO_SQL} DESC, doc_id ASC) AS rn
+      FROM {_VARIANT_CORPUS_SQL} corpus
+    ) t WHERE rn = 1
     """,
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dup_corpus_spark(spark, sf_dir)
-    return corpus.groupBy(F.md5("text").alias("text_md5")).agg(
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _dup_corpus_spark(spark, sf_dir).groupBy(
+        F.md5("text").alias("group_key")).agg(
         F.min("doc_id").cast("long").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
-    )
+    ).select(F.lit("exact_min").alias("policy"), "*")
+    corpus = _variant_corpus_spark(spark, sf_dir)
+    best = keep_best_norm(corpus, _stopword_ratio(F.col("text"))).select(
+        F.lit("best_norm").alias("policy"), "*")
+    return exact.unionByName(best)
 
 
 # --------------------------------------------------------------------------
@@ -556,51 +637,6 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical-document selection: after dedup finds groups, a training
 # pipeline keeps ONE representative per group — the highest-quality copy,
 # not an arbitrary one
-
-
-@register(
-    "dedup_keep_best",
-    oracle=f"""
-    SELECT text_md5, keep_id, n_copies FROM (
-      SELECT md5(text) AS text_md5,
-             doc_id AS keep_id,
-             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
-             row_number() OVER (
-               PARTITION BY md5(text)
-               ORDER BY CAST(len(list_filter(string_split(text, ' '),
-                        w -> w IN ({",".join("'" + w + "'" for w in STOPWORDS)})))
-                        AS DOUBLE) / len(string_split(text, ' ')) DESC,
-                        doc_id ASC) AS rn
-      FROM {_DUP_CORPUS_SQL} corpus
-    ) t WHERE rn = 1
-    """,
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One representative per exact-duplicate group, chosen by quality
-    (stopword ratio as the proxy here) with doc_id as the total-order
-    tiebreak — the real keep-policy of a training-data dedup stage, vs.
-    dedup_exact's arbitrary min-id. One shuffle on md5(text); the quality
-    score is a narrow map computed before the shuffle, so the window ranks
-    precomputed scalars."""
-    corpus = _dup_corpus_spark(spark, sf_dir)
-    toks = F.split("text", " ")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    quality = n_stop.cast("double") / F.size(toks)
-    scored = corpus.select(
-        F.md5("text").alias("text_md5"),
-        F.col("doc_id"),
-        quality.alias("q"),
-    )
-    w = Window.partitionBy("text_md5")
-    wr = Window.partitionBy("text_md5").orderBy(
-        F.col("q").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("n_copies", F.count(F.lit(1)).over(w))
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select("text_md5", F.col("doc_id").alias("keep_id"), "n_copies")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -161,9 +161,7 @@ def _bucket_sql(alias: str, dims: list[int] | None = None) -> str:
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
 
-@register(
-    "ann_lsh_topk",
-    oracle=f"""
+_ANN1_SQL = f"""
     WITH v AS (
       SELECT e.*,
              count(*) OVER (PARTITION BY {_bucket_sql("e")}) AS bsz
@@ -179,9 +177,10 @@ def _bucket_sql(alias: str, dims: list[int] | None = None) -> str:
         ON {_bucket_sql("q")} = {_bucket_sql("v")} AND v.vec_id != q.vec_id
        AND v.bsz <= {ANN_BUCKET_CAP}) t
     WHERE rn <= {TOP_K}
-    """,
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def ann_single_table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_spark(F.col("embedding"))
     )
@@ -269,9 +268,7 @@ def _mt_candidates(e: DataFrame) -> DataFrame:
     return cands.distinct()
 
 
-@register(
-    "ann_multitable_topk",
-    oracle=f"""
+_ANN3_SQL = f"""
     WITH v AS (
       SELECT e.*, {_MT_SIZES}
       FROM embeddings e
@@ -291,8 +288,8 @@ def _mt_candidates(e: DataFrame) -> DataFrame:
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings v ON v.vec_id = c.vec_id) t
     WHERE rn <= {TOP_K}
-    """,
-)
+"""
+
 
 def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN: candidate generation over 3 disjoint-dim
@@ -308,8 +305,10 @@ def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       |candidates| vector fetches instead of |corpus| dot products.
 
     Recall vs cosine_topk_bruteforce is pinned >= 0.9 by
-    tests/test_vectorops.py; single-table ann_lsh_topk stays as the
-    cheaper/lower-recall variant.
+    tests/test_vectorops.py; single-table ann_single_table_topk stays as
+    the cheaper/lower-recall variant. Both ship to the driver as the one
+    registered ``ann_lsh_topk`` query (method column), so each keeps a
+    full value-hash oracle inside the 50-row report window.
     """
     e = load(spark, sf_dir, "embeddings")
     cands = _mt_candidates(e)
@@ -337,6 +336,29 @@ def ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    SELECT 'lsh1' AS method, query_id, vec_id, cosine FROM ({_ANN1_SQL}) a
+    UNION ALL
+    SELECT 'lsh3' AS method, query_id, vec_id, cosine FROM ({_ANN3_SQL}) b
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LSH ANN variants in one driver-reported result (round 4: the
+    harness reports the first 50 registered queries, so same-family rows
+    are consolidated): ``method='lsh1'`` = single-table sign-LSH bucket
+    join, ``method='lsh3'`` = 3-table candidate union + exact re-rank.
+    Each variant keeps its own full value-hash oracle branch; the recall
+    and hot-bucket-cap gates drive the underlying functions directly
+    (tests/test_vectorops.py)."""
+    single = ann_single_table_topk(spark, sf_dir).select(
+        F.lit("lsh1").alias("method"), "query_id", "vec_id", "cosine")
+    multi = ann_multitable_topk(spark, sf_dir).select(
+        F.lit("lsh3").alias("method"), "query_id", "vec_id", "cosine")
+    return single.unionByName(multi)
 
 
 # --------------------------------------------------------------------------

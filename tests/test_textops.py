@@ -84,3 +84,34 @@ def test_dedup_intermediates_are_session_cached(spark):
     # the grouped result is rebuilt, but over the same cached members
     assert c1 is not c2
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_dedup_best_norm_quality_is_load_bearing(spark):
+    """dedup_keep_best's best_norm policy: the variant corpus plants the
+    UPPER-CASED (stopword-free) copy at the SMALL doc_id, so picking the
+    clean original (id >= 1000000) requires the quality ranking to
+    override the doc_id-ascending tiebreak. Swapping the quality
+    expression for a constant must flip those keepers back to the min id
+    — proving the ranking, not the tiebreak, decides."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.queries.textops import (
+        _stopword_ratio,
+        _variant_corpus_spark,
+        keep_best_norm,
+    )
+
+    corpus = _variant_corpus_spark(spark, SF)
+    quality = keep_best_norm(corpus, _stopword_ratio(F.col("text")))
+    flat = keep_best_norm(corpus, F.lit(0.0))
+
+    q_rows = {r.group_key: r.keep_id for r in quality.collect()}
+    f_rows = {r.group_key: r.keep_id for r in flat.collect()}
+    assert set(q_rows) == set(f_rows)
+    # constant quality == pure tiebreak -> always the planted low id
+    assert all(k < 1000000 for k in f_rows.values())
+    overridden = [g for g, k in q_rows.items() if k >= 1000000]
+    # stopwords appear in nearly every synthetic doc; require a majority
+    assert len(overridden) > len(q_rows) / 2, (
+        f"quality overrode the tiebreak in only {len(overridden)}/"
+        f"{len(q_rows)} groups")

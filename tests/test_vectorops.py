@@ -16,7 +16,11 @@ import pandas as pd
 import pytest
 
 from kgpipe.queries import QUERIES
-from kgpipe.queries.vectorops import N_QUERY
+from kgpipe.queries.vectorops import (
+    N_QUERY,
+    ann_multitable_topk,
+    ann_single_table_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -53,7 +57,7 @@ def _pairs(df):
 
 def test_multitable_recall_at_least_90(spark, planted_dir):
     truth = _pairs(QUERIES["cosine_topk_bruteforce"](spark, planted_dir))
-    got = _pairs(QUERIES["ann_multitable_topk"](spark, planted_dir))
+    got = _pairs(ann_multitable_topk(spark, planted_dir))
     assert truth
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, recall
@@ -62,9 +66,9 @@ def test_multitable_recall_at_least_90(spark, planted_dir):
 def test_multitable_beats_single_table(spark, planted_dir):
     truth = _pairs(QUERIES["cosine_topk_bruteforce"](spark, planted_dir))
     multi = len(truth & _pairs(
-        QUERIES["ann_multitable_topk"](spark, planted_dir))) / len(truth)
+        ann_multitable_topk(spark, planted_dir))) / len(truth)
     single = len(truth & _pairs(
-        QUERIES["ann_lsh_topk"](spark, planted_dir))) / len(truth)
+        ann_single_table_topk(spark, planted_dir))) / len(truth)
     assert multi >= single
     assert multi >= 0.9
 
@@ -104,7 +108,7 @@ def hotbucket_dir(tmp_path_factory):
 def test_single_table_drops_hot_bucket(spark, hotbucket_dir):
     """The over-full bucket contributes zero candidates: query 0 (inside
     it) gets no results, and no planted vector surfaces anywhere."""
-    out = QUERIES["ann_lsh_topk"](spark, hotbucket_dir).collect()
+    out = ann_single_table_topk(spark, hotbucket_dir).collect()
     assert out  # other queries still served
     assert all(r.vec_id < 10000 for r in out)
     assert all(r.query_id != 0 for r in out)
@@ -130,7 +134,7 @@ def test_multitable_caps_per_table_but_keeps_other_tables(
 def test_candidate_generation_is_narrow(spark, planted_dir):
     # the 3-way candidate union must not carry the 64-float vectors:
     # only the final re-rank joins them back
-    df = QUERIES["ann_multitable_topk"](spark, planted_dir)
+    df = ann_multitable_topk(spark, planted_dir)
     plan = df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
