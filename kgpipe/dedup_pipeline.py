@@ -45,6 +45,13 @@ from kgpipe.queries.textops import (
     minhash_sigs_over,
 )
 
+# Every parameter the stage outputs depend on; folded into the A14 input
+# fingerprint so a parameter change invalidates the durable stages (and,
+# for the fingerprint-keyed run_dir in queries/textops.py::dedup_pipeline,
+# lands in a fresh directory).
+DEDUP_PARAMS = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
+                "v": 1}
+
 
 def run_dedup_checkpointed(
     spark: SparkSession,
@@ -60,9 +67,7 @@ def run_dedup_checkpointed(
     input; the corpus transform itself must be deterministic given those
     files (true for all fixture corpora here).
     """
-    params = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
-              "v": 1}
-    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **params})
+    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
     fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
     fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
     fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]

