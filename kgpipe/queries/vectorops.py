@@ -15,6 +15,8 @@ break on vec_id, so rank sets match despite summation-order ULP noise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -486,22 +488,54 @@ K_CELLS = 16
 NPROBE = 4
 
 
-def _ivf_assign(e: DataFrame, cents: list[tuple[int, list[float]]]):
+def _py_norm(vec: list[float]) -> float:
+    """Same operation order as _norm (left-to-right sum of squared
+    doubles, then sqrt), so baking a centroid's norm as a literal is
+    bit-identical to evaluating _norm over its literal array."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _ivf_assign(e: DataFrame, cents: list[tuple[int, list[float]]],
+                nrm: Column | None = None):
     """Nearest-centroid cell id as a NARROW map over the corpus scan: the
     K centroids are literal arrays baked into the expression (the FAISS
     model — centroids are cluster-wide replicated metadata), so assignment
     is shuffle-free whole-stage-codegen'd arithmetic, never a join. Ties
     on the 6-dp rounded cosine break toward the lowest cell id via
-    lexicographic struct-min over (-cos, cell)."""
+    lexicographic struct-min over (-cos, cell).
+
+    Two hand-hoists matter here because higher-order-function aggregates
+    are interpreted (CodegenFallback) and Catalyst does not CSE across
+    expressions:
+
+    * per-row work — centroid norms are Python-computed literals and the
+      row's own norm comes in as ``nrm``, a column projected ONCE in a
+      parent select (CollapseProject keeps a non-cheap alias that is
+      referenced K_CELLS times in its own projection). Cuts the per-row
+      HOF evaluations from 3xK (dot + both norms) to K (the dots).
+    * driver-side planning — the centroid matrix / cell ids / norms are
+      THREE nested-array Literal nodes scored via one indexed
+      ``transform``, not K_CELLS x dim separate Literals; the old form
+      put ~2k expression nodes through every optimizer pass per call.
+    """
     emb = F.col("embedding")
-    scored = []
-    for cell_id, vec in cents:
-        lit = F.array(*[F.lit(float(x)) for x in vec])
-        cos = F.round(_dot(emb, lit) / (_norm(emb) * _norm(lit)), 6)
-        scored.append(
-            F.struct((-cos).alias("nc"), F.lit(cell_id).alias("cell"))
-        )
-    return F.array(*scored)
+    if nrm is None:
+        nrm = _norm(emb)
+    cvecs = F.lit([[float(x) for x in v] for _, v in cents])
+    ccells = F.lit([int(c) for c, _ in cents])
+    cnorms = F.lit([_py_norm(v) for _, v in cents])
+
+    def score(c: Column, i: Column) -> Column:
+        cos = F.round(
+            _dot(emb, c) / (nrm * F.element_at(cnorms, i + F.lit(1))), 6)
+        return F.struct(
+            (-cos).alias("nc"),
+            F.element_at(ccells, i + F.lit(1)).alias("cell"))
+
+    return F.transform(cvecs, score)
 
 
 def _collect_seed_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
@@ -574,26 +608,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cents = _collect_seed_centroids(e)
 
-    assigned = e.select(
-        "vec_id", "embedding",
-        F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"),
+    # norm projected once, reused by the K_CELLS assignment dots AND the
+    # final re-rank cosine (carried through the join)
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    assigned = base.select(
+        "vec_id", "embedding", "nrm",
+        F.array_min(
+            _ivf_assign(e, cents, nrm=F.col("nrm"))
+        ).getField("cell").alias("cell"),
     )
     probes = (
-        e.filter(F.col("vec_id") < N_QUERY)
+        base.filter(F.col("vec_id") < N_QUERY)
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
-                F.slice(F.array_sort(_ivf_assign(e, cents)), 1, NPROBE)
+                F.slice(
+                    F.array_sort(_ivf_assign(e, cents, nrm=F.col("nrm"))),
+                    1, NPROBE)
             ).alias("p"),
         )
         .select("query_id", F.col("p.cell").alias("cell"))
     )
-    q_emb = e.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q_emb = base.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("embedding"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+        / (F.col("q_nrm") * F.col("nrm")),
         6,
     )
     j = (
@@ -630,7 +673,11 @@ def ivf_train_centroids(
         # as a lambda-HOF struct makes the analyzer drop the struct's field
         # aliases (col1/col2) — still one narrow chain, no shuffle
         assigned = e.select(
-            F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"),
+            "embedding", _norm(F.col("embedding")).alias("nrm")
+        ).select(
+            F.array_min(
+                _ivf_assign(e, cents, nrm=F.col("nrm"))
+            ).getField("cell").alias("cell"),
             "embedding",
         ).select("cell", F.posexplode("embedding").alias("pos", "x"))
         means = (
