@@ -183,19 +183,36 @@ def run_pipeline_checkpointed(
     cc_algo: str = "two_phase",
     predicates=None,
     labeler_model=None,
+    stage_layout: str = "linked",
 ) -> dict[str, object]:
-    """A14 resumable run: three conv_id-bucketed stages with per-bucket
-    lineage manifests (operators/checkpoint.py). Re-invoking with the same
+    """A14 resumable run: conv_id-bucketed stages with per-bucket lineage
+    manifests (operators/checkpoint.py). Re-invoking with the same
     ``run_dir`` + unchanged input skips every completed bucket; a run
     interrupted mid-stage resumes from the last durably-committed bucket.
 
-    This path deliberately stages the EXPLODED ``linked`` intermediate
-    (not the fused turn digests): the durable cut between labeling and
-    extraction is what makes the expensive Arrow-UDF labeling stage
-    independently resumable, and the staged table doubles as the mentions
-    product. Output parity with the fused plain path holds because fused
-    == exploded is pinned by tests/test_relations_fused.py and
-    full == checkpointed by tests/test_checkpoint.py.
+    Two durable-stage layouts, both conv_id-bucket-resumable:
+
+    * ``stage_layout="linked"`` (default): stages the EXPLODED ``linked``
+      intermediate — the durable cut between labeling and extraction makes
+      the expensive Arrow-UDF labeling stage independently resumable, and
+      the staged table doubles as the mentions product. The cost is that
+      the staged rows carry the full turn text (the wide form the fused
+      product plan eliminated).
+    * ``stage_layout="digests"``: stages the FUSED per-turn digests
+      (operators/relations.py turn_digests, labeling inlined) — the
+      durable tables are the ~50-byte narrow rows, so the resumable path
+      keeps the single-shuffle product economics end to end: stage 1 is
+      scan -> one ArrowEvalPython -> narrow bucket write (labeling still
+      independently resumable, at bucket granularity), stage 2 is the
+      narrow window + per-turn dedup. Canonical ids are composed into the
+      digest link map (small-dict product path), so no canonicalize stage
+      exists to checkpoint. Requires len(candidate_dict) <=
+      LOCAL_CANON_MAX_DICT; larger dictionaries fall back to "linked"
+      (the composed-canon trick needs the driver-side map).
+
+    Output parity across layouts and with the plain paths holds because
+    fused == exploded is pinned by tests/test_relations_fused.py and
+    full == checkpointed (both layouts) by tests/test_checkpoint.py.
 
     Stage fingerprints chain (fp_{k+1} = h(fp_k, params)): the pipeline is
     deterministic, so a stage's output is fully determined by its input
@@ -204,9 +221,7 @@ def run_pipeline_checkpointed(
     """
     import hashlib
 
-    from kgpipe.operators.checkpoint import CheckpointedRun
-
-    from kgpipe.operators.checkpoint import input_fingerprint
+    from kgpipe.operators.checkpoint import CheckpointedRun, input_fingerprint
 
     tpath = os.path.join(fixture_dir, "transcripts.parquet")
     dpath = os.path.join(fixture_dir, "candidate_dict.parquet")
@@ -228,14 +243,61 @@ def run_pipeline_checkpointed(
                        + labeler_model.trans.tobytes()).hexdigest()[:8]
         if labeler_model is not None else "gazetteer"
     )
+
+    if stage_layout == "digests" and len(candidate_dict) > LOCAL_CANON_MAX_DICT:
+        stage_layout = "linked"
+
+    run = CheckpointedRun(spark, run_dir)
+
+    if stage_layout == "digests":
+        from kgpipe.operators.canon import build_canon_map_local
+        from kgpipe.operators.relations import (
+            triples_from_digests,
+            turn_digests,
+        )
+
+        canon_pdf = build_canon_map_local(candidate_dict)
+        canon_d = dict(zip(canon_pdf["entity_id"], canon_pdf["canonical_id"]))
+        inline_mode = "gaz" if labeler_model is None else "trained"
+        # digests depend on the dictionary+canon (both derived from dpath),
+        # the predicate table (first_pred/intra matching happens inside the
+        # digest UDF) and the labeler weights — but NOT on the turn window
+        fpd1 = input_fingerprint(
+            [tpath, dpath],
+            {"stage": "digests", "v": 1, "labeler": model_fp, "p": pred_fp})
+        fpd2 = hashlib.sha256(
+            f"{fpd1}|triples|w={window}|v=1".encode()).hexdigest()[:16]
+
+        def _digests(df: DataFrame) -> DataFrame:
+            src = df
+            if labeler_model is not None:
+                parallelism = spark.sparkContext.defaultParallelism
+                if src.rdd.getNumPartitions() < parallelism:
+                    src = src.repartition(parallelism)
+            return turn_digests(
+                spark, src, candidate_dict, predicates=pred_map,
+                canon=canon_d, inline_labeler=inline_mode,
+                model=labeler_model)
+
+        s1 = run.stage("digests", transcripts, _digests,
+                       n_buckets=n_buckets, fingerprint=fpd1)
+        # the window partitions by conv_id, so triples are bucket-local too
+        s2 = run.stage(
+            "triples", s1.df,
+            lambda df: triples_from_digests(df, window=window, dedup=True),
+            n_buckets=n_buckets, fingerprint=fpd2)
+        canon_map = spark.createDataFrame(
+            canon_pdf, schema="entity_id string, canonical_id string")
+        run.write_metrics()
+        return {"triples": s2.df, "digests": s1.df, "canon_map": canon_map,
+                "metrics": run.metrics, "run": run}
+
     fp1 = input_fingerprint(
         [tpath, dpath], {"stage": "linked", "v": 1, "labeler": model_fp})
     fp2 = hashlib.sha256(
         f"{fp1}|raw_triples|w={window}|p={pred_fp}|v=1".encode()
     ).hexdigest()[:16]
     fp3 = hashlib.sha256(f"{fp2}|triples|cc={cc_algo}|v=1".encode()).hexdigest()[:16]
-
-    run = CheckpointedRun(spark, run_dir)
 
     from kgpipe.operators.linker import top1_dict
 

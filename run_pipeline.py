@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="A14 resumable mode: per-bucket lineage manifests under "
                          "this dir; re-running with the same dir resumes from "
                          "the last committed bucket")
+    ap.add_argument("--stage-layout", default="linked",
+                    choices=["linked", "digests"],
+                    help="checkpointed stage layout: 'linked' stages the "
+                         "exploded text-bearing mentions table; 'digests' "
+                         "stages the narrow fused per-turn digests (the "
+                         "single-shuffle product economics, resumable)")
     args = ap.parse_args(argv)
 
     from kgpipe.operators.evaluate import evaluate_triples
@@ -78,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         out = run_pipeline_checkpointed(
             spark, args.input, args.checkpoint_dir, window=args.window,
             cc_algo=args.cc_algo, predicates=predicates,
-            labeler_model=model)
+            labeler_model=model, stage_layout=args.stage_layout)
         gold_path = os.path.join(args.input, "gold_triples.parquet")
         if os.path.exists(gold_path):
             out["gold"] = spark.read.parquet(gold_path)

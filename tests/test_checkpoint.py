@@ -209,3 +209,64 @@ def test_missing_schema_on_all_empty_stage_is_clear_error(
     with _pytest.raises(RuntimeError, match="_schema.json"):
         run2.stage("s1", empty_in, lambda df: df.filter("x > 0"),
                    n_buckets=2, fingerprint="fp1")
+
+
+# -- digest stage layout ----------------------------------------------------
+
+
+def test_digest_layout_equals_plain(spark, fixture_dir, plain_triples,
+                                    tmp_path_factory):
+    """stage_layout='digests' stages the narrow fused per-turn digests
+    instead of the text-bearing linked table; triples must equal the plain
+    run exactly, with per-bucket manifests for both stages."""
+    run_dir = str(tmp_path_factory.mktemp("ckpt-digests"))
+    out = run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, stage_layout="digests")
+    assert _triple_set(out["triples"]) == plain_triples
+    for stage in ("digests", "triples"):
+        mpath = os.path.join(run_dir, stage, "manifest.jsonl")
+        rows = [json.loads(line) for line in open(mpath)]
+        assert {r["bucket"] for r in rows} == set(range(32))
+    # the durable digest rows are NARROW: no text column is staged
+    assert "text" not in out["digests"].columns
+    assert set(out["digests"].columns) == {
+        "conv_id", "turn_idx", "intra", "first_ent", "first_pred",
+        "last_ent"}
+
+
+def test_digest_layout_crash_resume(spark, fixture_dir, plain_triples,
+                                    tmp_path_factory):
+    """Crash after part of the digests stage committed: resume recomputes
+    exactly the missing buckets and the final triples are identical."""
+    run_dir = str(tmp_path_factory.mktemp("ckpt-digests-crash"))
+    run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, stage_layout="digests")
+
+    mpath = os.path.join(run_dir, "digests", "manifest.jsonl")
+    rows = [json.loads(line) for line in open(mpath)]
+    dropped = {r["bucket"] for r in rows[-10:]}
+    with open(mpath, "w") as f:
+        for r in rows[:-10]:
+            f.write(json.dumps(r) + "\n")
+    import shutil
+    shutil.rmtree(os.path.join(run_dir, "triples"))
+
+    out = run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, stage_layout="digests")
+    m = out["metrics"]["digests"]
+    assert m["buckets_computed"] == len(dropped)
+    assert m["buckets_skipped"] == 32 - len(dropped)
+    assert _triple_set(out["triples"]) == plain_triples
+
+
+def test_digest_layout_resume_skips_everything(spark, fixture_dir,
+                                               plain_triples,
+                                               tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("ckpt-digests-skip"))
+    run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, stage_layout="digests")
+    out2 = run_pipeline_checkpointed(
+        spark, fixture_dir, run_dir, stage_layout="digests")
+    for stage, m in out2["metrics"].items():
+        assert m["buckets_computed"] == 0, (stage, m)
+    assert _triple_set(out2["triples"]) == plain_triples
