@@ -339,8 +339,12 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
         # an artifact of the fixture, not of the design (a real
         # transcripts table scans as far more splits than executors, which
         # is exactly what the pipeline's no-repartition scan relies on).
-        # Part order is lexicographic, so row order — and therefore the
-        # training sample and every content fingerprint — is unchanged.
+        # Part order is lexicographic, so PANDAS/PYARROW readers (the
+        # training sample and every content fingerprint) see unchanged row
+        # order. Spark schedules parquet splits by size, not path order, so
+        # Spark-side row order is NOT preserved — and nothing relies on it:
+        # every downstream ordering is explicit on (conv_id, turn_idx, ...)
+        # per the BASELINE per-row invariant.
         n_parts = min(64, max(1, len(df) // 2000)) if name == "transcripts" \
             else 1
         if n_parts > 1:

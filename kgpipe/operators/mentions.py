@@ -36,7 +36,13 @@ def extract_mentions(labeled: DataFrame, keep_text: bool = True) -> DataFrame:
     # such filter, and the null-sp filter references only the Generate's
     # own output, which cannot be pushed below it. Row set is identical:
     # empty/null span arrays yield sp = NULL, which the filter drops just
-    # like explode's native skip.
+    # like explode's native skip — with ONE contract difference: a NULL
+    # element INSIDE a non-empty spans array is dropped here, where plain
+    # explode emitted it as a row. Both labelers never produce null
+    # elements, so the row sets are identical today; the behavior is
+    # pinned by tests/test_pipeline_e2e.py::
+    # test_mentions_drop_null_span_elements so a future spans producer
+    # can't change semantics unnoticed.
     return (labeled
             .select("conv_id", "turn_idx", "text",
                     F.explode_outer("spans").alias("sp"))

@@ -246,6 +246,16 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
     if inline_labeler is not None:
         from kgpipe.operators.labeler import build_gazetteer, build_transitions
 
+        if "spans" in labeled.columns:
+            # inline mode RE-labels inside the digest UDF: accepting a
+            # pre-labeled frame here would silently discard the caller's
+            # spans (wasted upstream work, and divergence if they were
+            # produced with different weights)
+            raise ValueError(
+                "inline_labeler recomputes labels inside the digest UDF "
+                "but the input already has a 'spans' column — pass the "
+                "bare transcripts, or drop inline_labeler to consume the "
+                "existing spans")
         gaz = build_gazetteer(candidate_dict)
         trans = build_transitions()
         if inline_labeler == "trained" and model is None:

@@ -92,8 +92,15 @@ def run_pipeline(
     transcript scale);
     ``"exploded"`` is the window-over-mentions reference plan. Output
     equality between the two is pinned by tests/test_relations_fused.py.
-    The ``mentions``/``linked`` intermediates are built either way (lazy
-    — they cost nothing unless a consumer evaluates them).
+
+    Return contract: every value is LAZY and only ``triples`` is the
+    product output. ``mentions``/``linked`` cost nothing unless a
+    consumer evaluates them, and on the fused small-dict path
+    ``raw_triples`` (the pre-canonicalization form) is an INDEPENDENT
+    plan from ``triples`` — they share no subtree, so evaluating both
+    runs the corpus scan + inline labeling twice. Consumers that need
+    both should evaluate ``triples`` and derive the raw view from the
+    exploded intermediates instead.
     """
     if labeler_model is not None:
         from kgpipe.operators.train import label_transcripts_trained

@@ -91,3 +91,27 @@ def test_skew_hot_conversation_present(spark, unit_fixture_dir):
     counts = tr.groupBy("conv_id").count().orderBy(F.desc("count")).collect()
     total = sum(r["count"] for r in counts)
     assert counts[0]["count"] / total > 0.2
+
+
+def test_mentions_drop_null_span_elements(spark):
+    """extract_mentions uses explode_outer + IS-NOT-NULL (the
+    double-UDF-execution fix), which drops a NULL element INSIDE a
+    non-empty spans array — plain explode would have emitted it as a row.
+    Neither labeler produces null elements, so this pins the contract for
+    any future spans producer."""
+    from kgpipe.operators.mentions import extract_mentions
+
+    schema = ("conv_id string, turn_idx int, text string, "
+              "spans array<struct<start:int,end:int,ent_type:string,"
+              "score:float>>")
+    rows = [
+        ("c1", 0, "alpha beta", [(0, 5, "per", 1.0), None]),
+        ("c1", 1, "gamma", [None]),
+        ("c1", 2, "delta", []),
+        ("c1", 3, "epsilon", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = extract_mentions(df).select(
+        "conv_id", "turn_idx", "surface").collect()
+    assert [(r.conv_id, r.turn_idx, r.surface) for r in got] == [
+        ("c1", 0, "alpha")]
