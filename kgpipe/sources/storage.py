@@ -13,10 +13,27 @@ Layout decisions that matter at 100 TB:
 * repartition by hash(subj) before the write so files are evenly sized and
   subject-key locality is preserved for downstream graph joins (the parquet
   stand-in for Iceberg's bucket(subj) transform).
+
+Snapshot emulation (SURVEY §4.4: "partitioned parquet + a manifest JSON
+emulating snapshot/partition listing"): the parquet path reproduces the
+Iceberg METADATA protocol, not just the file format —
+
+* each ``write_triples`` commits a new immutable snapshot: data lands under
+  ``data/snap-<id>/pred=<v>/``, a manifest JSON (per-file partition value,
+  row count, byte size, subj min/max from the parquet footers) is written,
+  and only then the ``metadata/current`` pointer is swapped atomically
+  (tmp + rename) — the same write-files -> write-manifest -> swap-pointer
+  commit order Iceberg uses, so a crash at any point leaves the previous
+  snapshot readable and never exposes a half-written one.
+* ``read_triples`` plans the scan FROM THE MANIFEST: partition pruning and
+  time travel (``snapshot_id=``) select the file list without any
+  directory walk, exactly how an Iceberg scan avoids O(files) listing.
+* ``expire_snapshots`` drops unreferenced snapshots' data + metadata.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,9 +42,93 @@ from pyspark.sql import functions as F
 TABLE_FORMAT = os.environ.get("KGPIPE_TABLE_FORMAT", "parquet")
 
 
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _current_snapshot_id(path: str) -> int | None:
+    cur = os.path.join(_meta_dir(path), "current")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip())
+
+
+def _load_snapshot(path: str, snapshot_id: int) -> dict:
+    with open(os.path.join(_meta_dir(path), f"snap-{snapshot_id:06d}.json")) as f:
+        return json.load(f)
+
+
+def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int) -> dict:
+    """Build the manifest from the just-written files' parquet footers and
+    commit it: manifest JSON first, then the atomic ``current`` pointer
+    swap. Footer reads are driver-side metadata (~ms per file)."""
+    import pyarrow.parquet as pq
+
+    manifest = []
+    for root, _, files in os.walk(snap_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            rel = os.path.relpath(fp, path)
+            # partition value from the hive-style dir name
+            part = next((seg.split("=", 1)[1] for seg in rel.split(os.sep)
+                         if seg.startswith("pred=")), None)
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            smin = smax = None
+            names = {md.schema.column(i).name: i
+                     for i in range(len(md.schema))}
+            if "subj" in names:
+                col = names["subj"]
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                if mins:
+                    smin, smax = min(mins), max(maxs)
+            manifest.append({
+                "path": rel.replace(os.sep, "/"),
+                "partition": {"pred": part},
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(fp),
+                "subj_min": smin,
+                "subj_max": smax,
+            })
+    parent = _current_snapshot_id(path)
+    snap = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "operation": "overwrite",
+        "summary": {
+            "total_files": len(manifest),
+            "total_rows": sum(m["rows"] for m in manifest),
+            "partitions": sorted({m["partition"]["pred"] for m in manifest
+                                  if m["partition"]["pred"] is not None}),
+        },
+        "manifest": manifest,
+    }
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    with open(os.path.join(_meta_dir(path),
+                           f"snap-{snapshot_id:06d}.json"), "w") as f:
+        json.dump(snap, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(_meta_dir(path), "current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(snapshot_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(_meta_dir(path), "current"))
+    return snap
+
+
 def write_triples(triples: DataFrame, path: str, n_buckets: int = 16) -> int:
-    """Write the triples table; returns the row count (via a single
-    ``observe`` pass — no extra job)."""
+    """Commit the triples table as a new snapshot; returns the row count
+    (via a single ``observe`` pass — no extra job)."""
     from pyspark.sql import Observation
 
     obs = Observation("write_triples")
@@ -36,14 +137,67 @@ def write_triples(triples: DataFrame, path: str, n_buckets: int = 16) -> int:
     if TABLE_FORMAT == "iceberg":
         # production path: df.writeTo(path).partitionedBy('pred',
         # bucket(n, 'subj')).createOrReplace() — requires the Iceberg
-        # runtime jar on the classpath.
+        # runtime jar on the classpath. Snapshots/manifests/time travel
+        # come from the Iceberg catalog natively.
         t.writeTo(path).partitionedBy(F.col("pred")).createOrReplace()
-    else:
-        t.write.mode("overwrite").partitionBy("pred").parquet(path)
+        return int(obs.get["rows"])
+    snapshot_id = (_current_snapshot_id(path) or 0) + 1
+    snap_dir = os.path.join(path, "data", f"snap-{snapshot_id:06d}")
+    t.write.mode("overwrite").partitionBy("pred").parquet(snap_dir)
+    _commit_snapshot(path, snap_dir, snapshot_id)
     return int(obs.get["rows"])
 
 
-def read_triples(spark: SparkSession, path: str) -> DataFrame:
+def read_triples(spark: SparkSession, path: str,
+                 snapshot_id: int | None = None,
+                 pred: str | None = None) -> DataFrame:
+    """Read a snapshot (default: current) planned from the manifest.
+
+    ``pred``: partition pruning from METADATA — the file list is filtered
+    before Spark ever sees the table, so no directory listing and no
+    non-matching footer is touched (the manifest stand-in for Iceberg's
+    scan planning). ``snapshot_id``: time travel to any unexpired commit.
+    """
     if TABLE_FORMAT == "iceberg":
-        return spark.read.format("iceberg").load(path)
-    return spark.read.parquet(path)
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", snapshot_id)
+        df = r.load(path)
+        return df.filter(F.col("pred") == pred) if pred else df
+    sid = snapshot_id if snapshot_id is not None else _current_snapshot_id(path)
+    if sid is None:
+        # pre-snapshot layout (plain partitioned parquet) — directory read
+        df = spark.read.parquet(path)
+        return df.filter(F.col("pred") == pred) if pred else df
+    snap = _load_snapshot(path, sid)
+    files = [m for m in snap["manifest"]
+             if pred is None or m["partition"]["pred"] == pred]
+    base = os.path.join(path, "data", f"snap-{sid:06d}")
+    if not files:
+        return spark.read.schema("subj string, pred string, obj string") \
+            .parquet(base).filter(F.lit(False))
+    return (spark.read.option("basePath", base)
+            .parquet(*[os.path.join(path, m["path"]) for m in files]))
+
+
+def snapshot_ids(path: str) -> list[int]:
+    md = _meta_dir(path)
+    if not os.path.isdir(md):
+        return []
+    return sorted(int(fn[5:11]) for fn in os.listdir(md)
+                  if fn.startswith("snap-") and fn.endswith(".json"))
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (data + manifest);
+    never expires the current pointer's snapshot. Returns expired ids."""
+    import shutil
+
+    ids = snapshot_ids(path)
+    current = _current_snapshot_id(path)
+    expire = [i for i in ids[:-keep_last] if i != current] if keep_last else []
+    for sid in expire:
+        shutil.rmtree(os.path.join(path, "data", f"snap-{sid:06d}"),
+                      ignore_errors=True)
+        os.remove(os.path.join(_meta_dir(path), f"snap-{sid:06d}.json"))
+    return expire

@@ -116,7 +116,11 @@ def main(argv: list[str] | None = None) -> int:
             print("--eval requested but no gold_triples.parquet in input dir",
                   file=sys.stderr)
             return 2
-        triples = spark.read.parquet(args.output)
+        # read back through the snapshot layer (metadata-planned scan), so
+        # --eval also exercises the manifest read path end to end
+        from kgpipe.sources.storage import read_triples
+
+        triples = read_triples(spark, args.output)
         report["metrics"] = evaluate_triples(triples, out["gold"])
     print(json.dumps(report), flush=True)
     # explicit stop: an orphaned local-mode JVM outlives the driver script

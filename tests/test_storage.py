@@ -1,0 +1,107 @@
+"""A13/B2 storage gates: the parquet path's Iceberg-style snapshot
+emulation — manifest-planned scans, metadata partition pruning, time
+travel, snapshot expiry, and the crash-safe pointer-swap commit
+(SURVEY.md §4.4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from kgpipe.sources.storage import (
+    expire_snapshots,
+    read_triples,
+    snapshot_ids,
+    write_triples,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, conv_id string, "
+              "turn_idx int, conf float")
+
+
+@pytest.fixture()
+def v1_rows():
+    return [(f"e{i}", "works_at", f"o{i % 3}", f"c{i}", i, 1.0)
+            for i in range(20)] + \
+           [(f"e{i}", "studied_at", f"u{i % 2}", f"c{i}", i, 0.9)
+            for i in range(10)]
+
+
+def _tset(df):
+    # partitioned reads append the partition column last — fix the order
+    return {tuple(r) for r in df.select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "conf").collect()}
+
+
+def test_snapshot_write_read_roundtrip(spark, tmp_path, v1_rows):
+    path = str(tmp_path / "tbl")
+    n = write_triples(_df(spark, v1_rows), path)
+    assert n == 30
+    assert snapshot_ids(path) == [1]
+    got = read_triples(spark, path)
+    assert _tset(got) == _tset(_df(spark, v1_rows))
+    # manifest agrees with the data: per-file rows sum to the table size,
+    # every file carries its partition value and subj min/max stats
+    snap = json.load(open(os.path.join(path, "metadata", "snap-000001.json")))
+    assert snap["summary"]["total_rows"] == 30
+    assert set(snap["summary"]["partitions"]) == {"works_at", "studied_at"}
+    assert all(m["partition"]["pred"] in ("works_at", "studied_at")
+               and m["rows"] > 0 and m["subj_min"] <= m["subj_max"]
+               for m in snap["manifest"])
+
+
+def test_metadata_partition_pruning(spark, tmp_path, v1_rows):
+    """pred= pruning happens at manifest level: the scan's input files are
+    exactly the matching partition's files — no directory listing, no
+    touch of the other partition."""
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    pruned = read_triples(spark, path, pred="studied_at")
+    assert pruned.count() == 10
+    assert {r.pred for r in pruned.collect()} == {"studied_at"}
+    assert all("pred=studied_at" in f for f in pruned.inputFiles())
+    full = read_triples(spark, path)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_time_travel_and_expiry(spark, tmp_path, v1_rows):
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    v2 = [("x", "works_at", "y", "c0", 0, 1.0)]
+    write_triples(_df(spark, v2), path)
+
+    assert snapshot_ids(path) == [1, 2]
+    assert read_triples(spark, path).count() == 1          # current == v2
+    assert read_triples(spark, path, snapshot_id=1).count() == 30
+    expired = expire_snapshots(path, keep_last=1)
+    assert expired == [1]
+    assert snapshot_ids(path) == [2]
+    assert not os.path.isdir(os.path.join(path, "data", "snap-000001"))
+    assert read_triples(spark, path).count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_triples(spark, path, snapshot_id=1)
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path, v1_rows):
+    """Crash between data write and pointer swap: a snap dir (and even its
+    manifest) without the current-pointer update must leave the previous
+    snapshot the visible one — the commit IS the atomic pointer swap."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    # fake a half-committed snapshot 2: data + manifest present, pointer not
+    shutil.copytree(os.path.join(path, "data", "snap-000001"),
+                    os.path.join(path, "data", "snap-000002"))
+    shutil.copy(os.path.join(path, "metadata", "snap-000001.json"),
+                os.path.join(path, "metadata", "snap-000002.json"))
+    assert read_triples(spark, path).count() == 30
+    # the next real commit takes the NEXT id after current (2), replacing
+    # the orphaned attempt — mirroring Iceberg's retry-over-orphan behavior
+    write_triples(_df(spark, [("x", "works_at", "y", "c0", 0, 1.0)]), path)
+    assert read_triples(spark, path).count() == 1
