@@ -252,6 +252,12 @@ def run_pipeline_checkpointed(
     )
 
     if stage_layout == "digests" and len(candidate_dict) > LOCAL_CANON_MAX_DICT:
+        import warnings
+
+        warnings.warn(
+            f"stage_layout='digests' needs a broadcastable dictionary "
+            f"(<= {LOCAL_CANON_MAX_DICT} rows; got {len(candidate_dict)}) — "
+            f"falling back to the 'linked' layout", stacklevel=2)
         stage_layout = "linked"
 
     run = CheckpointedRun(spark, run_dir)

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from kgpipe.queries.registry import load, register
 
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "on", "is"]
+# the one SQL-literal form of the stoplist — every oracle expression uses
+# THIS constant so the engine/oracle stoplists cannot desynchronize
+_STOPLIST_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
 
 # MinHash parameters: k permutations via (a_i * h + b_i) mod p over the
 # portable 48-bit hash. Fixed primes a_i < 2^13 keep h*a+b < 2^62 (no BIGINT
@@ -103,10 +106,9 @@ def _cached(spark: SparkSession, key: tuple, build) -> DataFrame:
 # a narrow map computed before the shuffle, so the window ranks
 # precomputed scalars.
 
-_STOP_IN = ",".join("'" + w + "'" for w in STOPWORDS)
 _NORM_SQL = "md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))"
 _RATIO_SQL = f"""CAST(len(list_filter(string_split(text, ' '),
-        w -> w IN ({_STOP_IN}))) AS DOUBLE) / len(string_split(text, ' '))"""
+        w -> w IN ({_STOPLIST_SQL}))) AS DOUBLE) / len(string_split(text, ' '))"""
 
 # upper-cased (stopword-free => low-quality) copy at the SMALL id, the
 # original at id + 1000000
@@ -249,7 +251,7 @@ def _langid_spark(toks: Column) -> Column:
       SELECT source,
              {_LANGID_CASE_SQL} AS predicted_lang,
              CAST(len(list_filter(string_split(text, ' '),
-                  w -> w IN ({",".join("'" + w + "'" for w in STOPWORDS)})))
+                  w -> w IN ({_STOPLIST_SQL})))
                   AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
              CAST(length(replace(text, ' ', '')) AS DOUBLE)
                   / len(string_split(text, ' ')) AS word_len
@@ -753,9 +755,6 @@ _NEARDUP_CORPUS_SQL = """
      SELECT doc_id + 1000000 AS doc_id, text FROM documents)
 """
 
-_STOPLIST_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
-
-
 def _neardup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     noisy = d.select(
@@ -848,7 +847,16 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~12 s and ~2 s per bench run at sf0.1). A changed input or parameter
     produces a different fingerprint and therefore a clean new run_dir;
     pytest drives forced recompute by passing its own run_dir
-    (tests/test_dedup_pipeline.py)."""
+    (tests/test_dedup_pipeline.py).
+
+    A shared fingerprint-keyed dir means two PROCESSES can now race on it
+    (the old applicationId key was per-process by construction), so the
+    dir is per-user and the run holds an exclusive non-blocking ``flock``;
+    a process that finds the lock already held falls back to a private
+    applicationId-suffixed dir (correct, just without cross-process
+    sharing) instead of interleaving bucket writes with the lock holder."""
+    import fcntl as _fcntl
+    import getpass as _gp
     import os as _os
     import tempfile as _tf
 
@@ -857,10 +865,20 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     input_paths = [_os.path.join(sf_dir, "documents.parquet")]
     fp = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
-    run_dir = _os.path.join(_tf.gettempdir(), "kgpipe-dedup-" + fp)
-    out = run_dedup_checkpointed(
-        spark, _neardup_corpus_spark(spark, sf_dir),
-        [_os.path.join(sf_dir, "documents.parquet")], run_dir)
+    run_dir = _os.path.join(
+        _tf.gettempdir(), f"kgpipe-dedup-{_gp.getuser()}-{fp}")
+    _os.makedirs(run_dir, exist_ok=True)
+    lock = open(_os.path.join(run_dir, ".lock"), "w")
+    try:
+        try:
+            _fcntl.flock(lock, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+        except OSError:
+            run_dir += "-" + spark.sparkContext.applicationId
+        out = run_dedup_checkpointed(
+            spark, _neardup_corpus_spark(spark, sf_dir),
+            [_os.path.join(sf_dir, "documents.parquet")], run_dir)
+    finally:
+        lock.close()
     return out["keep_best"]
 
 

@@ -498,7 +498,7 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _ivf_assign(e: DataFrame, cents: list[tuple[int, list[float]]],
+def _ivf_assign(cents: list[tuple[int, list[float]]],
                 nrm: Column | None = None):
     """Nearest-centroid cell id as a NARROW map over the corpus scan: the
     K centroids are literal arrays baked into the expression (the FAISS
@@ -614,7 +614,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = base.select(
         "vec_id", "embedding", "nrm",
         F.array_min(
-            _ivf_assign(e, cents, nrm=F.col("nrm"))
+            _ivf_assign(cents, nrm=F.col("nrm"))
         ).getField("cell").alias("cell"),
     )
     probes = (
@@ -623,7 +623,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.explode(
                 F.slice(
-                    F.array_sort(_ivf_assign(e, cents, nrm=F.col("nrm"))),
+                    F.array_sort(_ivf_assign(cents, nrm=F.col("nrm"))),
                     1, NPROBE)
             ).alias("p"),
         )
@@ -676,7 +676,7 @@ def ivf_train_centroids(
             "embedding", _norm(F.col("embedding")).alias("nrm")
         ).select(
             F.array_min(
-                _ivf_assign(e, cents, nrm=F.col("nrm"))
+                _ivf_assign(cents, nrm=F.col("nrm"))
             ).getField("cell").alias("cell"),
             "embedding",
         ).select("cell", F.posexplode("embedding").alias("pos", "x"))

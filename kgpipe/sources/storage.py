@@ -28,6 +28,16 @@ Iceberg METADATA protocol, not just the file format —
 * ``read_triples`` plans the scan FROM THE MANIFEST: partition pruning and
   time travel (``snapshot_id=``) select the file list without any
   directory walk, exactly how an Iceberg scan avoids O(files) listing.
+  The table SCHEMA is recorded in each manifest (as Iceberg records it in
+  table metadata), so a fully-pruned read returns the exact written
+  schema — not a guess — even when zero files match.
+* concurrent writers are safe the way Iceberg makes them safe: each
+  writer lands its files in a private ``data/.staging-<uuid>`` dir (the
+  long Spark write happens with no lock held), then the METADATA commit —
+  allocate id, rename staging into place, write manifest, swap pointer —
+  runs under an exclusive ``flock`` on ``metadata/commit.lock``. Two
+  concurrent ``write_triples`` serialize only their (driver-side, ms)
+  commits and both snapshots survive with distinct ids.
 * ``expire_snapshots`` drops unreferenced snapshots' data + metadata.
 """
 
@@ -59,7 +69,8 @@ def _load_snapshot(path: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
-def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int) -> dict:
+def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int,
+                     schema_json: str | None = None) -> dict:
     """Build the manifest from the just-written files' parquet footers and
     commit it: manifest JSON first, then the atomic ``current`` pointer
     swap. Footer reads are driver-side metadata (~ms per file)."""
@@ -102,6 +113,7 @@ def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int) -> dict:
     snap = {
         "snapshot_id": snapshot_id,
         "parent_id": parent,
+        "schema": json.loads(schema_json) if schema_json else None,
         "operation": "overwrite",
         "summary": {
             "total_files": len(manifest),
@@ -141,10 +153,32 @@ def write_triples(triples: DataFrame, path: str, n_buckets: int = 16) -> int:
         # come from the Iceberg catalog natively.
         t.writeTo(path).partitionedBy(F.col("pred")).createOrReplace()
         return int(obs.get["rows"])
-    snapshot_id = (_current_snapshot_id(path) or 0) + 1
-    snap_dir = os.path.join(path, "data", f"snap-{snapshot_id:06d}")
-    t.write.mode("overwrite").partitionBy("pred").parquet(snap_dir)
-    _commit_snapshot(path, snap_dir, snapshot_id)
+    # Iceberg-style two-phase commit: the (long, lock-free) Spark write
+    # lands in a writer-private staging dir; the (driver-side, ms-scale)
+    # metadata commit — allocate the next id, rename staging into place,
+    # manifest, pointer swap — serializes under an exclusive flock, so
+    # concurrent writers cannot allocate the same snapshot id or clobber
+    # each other's files.
+    import fcntl
+    import uuid
+
+    staging = os.path.join(path, "data", f".staging-{uuid.uuid4().hex}")
+    t.write.mode("overwrite").partitionBy("pred").parquet(staging)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    with open(os.path.join(_meta_dir(path), "commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        snapshot_id = (_current_snapshot_id(path) or 0) + 1
+        snap_dir = os.path.join(path, "data", f"snap-{snapshot_id:06d}")
+        if os.path.exists(snap_dir):
+            # an orphan from a crashed commit: ids > current are never
+            # referenced by the pointer, and we hold the commit lock, so
+            # replacing it mirrors Iceberg's retry-over-orphan behavior
+            import shutil
+
+            shutil.rmtree(snap_dir)
+        os.rename(staging, snap_dir)
+        _commit_snapshot(path, snap_dir, snapshot_id,
+                         schema_json=triples.schema.json())
     return int(obs.get["rows"])
 
 
@@ -174,8 +208,26 @@ def read_triples(spark: SparkSession, path: str,
              if pred is None or m["partition"]["pred"] == pred]
     base = os.path.join(path, "data", f"snap-{sid:06d}")
     if not files:
-        return spark.read.schema("subj string, pred string, obj string") \
-            .parquet(base).filter(F.lit(False))
+        # fully-pruned scan: the schema comes from the manifest (written
+        # with the snapshot, like Iceberg's table metadata), so an empty
+        # partition returns the SAME columns a non-empty read carries —
+        # never an input-dependent schema
+        from pyspark.sql.types import StructType
+
+        if snap.get("schema"):
+            schema = StructType.fromJson(snap["schema"])
+            # partitioned reads append the partition column last — match
+            # that order so empty and non-empty reads union positionally
+            schema = StructType(
+                [f for f in schema.fields if f.name != "pred"]
+                + [f for f in schema.fields if f.name == "pred"])
+        elif snap["manifest"]:
+            # pre-schema manifest: recover it from any data file
+            one = os.path.join(path, snap["manifest"][0]["path"])
+            schema = spark.read.option("basePath", base).parquet(one).schema
+        else:
+            schema = StructType.fromDDL("subj string, pred string, obj string")
+        return spark.createDataFrame([], schema)
     return (spark.read.option("basePath", base)
             .parquet(*[os.path.join(path, m["path"]) for m in files]))
 

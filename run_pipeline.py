@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
                          "exploded text-bearing mentions table; 'digests' "
                          "stages the narrow fused per-turn digests (the "
                          "single-shuffle product economics, resumable)")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    metavar="K",
+                    help="after committing, expire all but the newest K "
+                         "snapshots of the output table (each run commits "
+                         "a full immutable snapshot; without this flag the "
+                         "table grows by one data copy per run)")
     args = ap.parse_args(argv)
 
     from kgpipe.operators.evaluate import evaluate_triples
@@ -102,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(gold_path):
             out["gold"] = spark.read.parquet(gold_path)
     n = write_triples(out["triples"], args.output)
+    if args.expire_keep_last is not None:
+        from kgpipe.sources.storage import expire_snapshots
+
+        expire_snapshots(args.output, keep_last=args.expire_keep_last)
     wall = time.time() - t0
     report = {"triples": n, "wall_sec": round(wall, 2),
               "triples_per_sec": round(n / wall, 1), "output": args.output}

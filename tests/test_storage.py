@@ -105,3 +105,35 @@ def test_uncommitted_snapshot_is_invisible(spark, tmp_path, v1_rows):
     # the orphaned attempt — mirroring Iceberg's retry-over-orphan behavior
     write_triples(_df(spark, [("x", "works_at", "y", "c0", 0, 1.0)]), path)
     assert read_triples(spark, path).count() == 1
+
+
+def test_pruned_to_empty_read_keeps_full_schema(spark, tmp_path, v1_rows):
+    """A pred that matches no manifest file must return the SAME schema a
+    non-empty read carries (recorded in the manifest like Iceberg's table
+    metadata) — not a guessed 3-column shape. Regression: selecting conf
+    on an empty partition used to throw UNRESOLVED_COLUMN."""
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    full = read_triples(spark, path, pred="works_at")
+    empty = read_triples(spark, path, pred="no_such_pred")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == \
+        [f.name for f in full.schema.fields]
+    # and the projection that used to crash
+    assert empty.select("conf", "conv_id", "turn_idx").count() == 0
+
+
+def test_concurrent_writers_both_commit(spark, tmp_path, v1_rows):
+    """Two write_triples into the same table (sequentially here — the
+    flock'd metadata commit is what serializes true concurrency) must
+    produce two distinct surviving snapshots, each readable."""
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    write_triples(_df(spark, [("x", "works_at", "y", "c0", 0, 1.0)]), path)
+    ids = snapshot_ids(path)
+    assert ids == [1, 2]
+    assert read_triples(spark, path, snapshot_id=1).count() == 30
+    assert read_triples(spark, path, snapshot_id=2).count() == 1
+    # no staging leftovers after successful commits
+    assert not [d for d in os.listdir(os.path.join(path, "data"))
+                if d.startswith(".staging-")]

@@ -168,7 +168,7 @@ def test_ivf_assignment_is_narrow(spark, planted_dir):
     e = load(spark, planted_dir, "embeddings")
     cents = _collect_seed_centroids(e)
     assigned = e.select(
-        F.array_min(_ivf_assign(e, cents)).getField("cell").alias("cell"))
+        F.array_min(_ivf_assign(cents)).getField("cell").alias("cell"))
     plan = assigned._jdf.queryExecution().explainString(
         assigned._sc._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
@@ -218,7 +218,7 @@ def test_ivf_lloyd_recovers_blobs(spark, blobs_dir):
 
     assigned = e.select(
         "label",
-        F.array_min(_ivf_assign(e, trained)).getField("cell").alias("cell"),
+        F.array_min(_ivf_assign(trained)).getField("cell").alias("cell"),
     ).toPandas()
     # each blob label must map to exactly one dominant cell, all distinct
     top_cell = assigned.groupby("label")["cell"].agg(
