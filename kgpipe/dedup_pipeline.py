@@ -53,6 +53,31 @@ DEDUP_PARAMS = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
                 "v": 1}
 
 
+def stage_fingerprints(input_paths: list[str]) -> dict[str, str]:
+    """The chained A14 fingerprints for every stage — the single source of
+    truth shared by the run itself and any read-only consumer of its
+    committed stage tables (CheckpointedRun.load_committed)."""
+    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
+    fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
+    fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
+    fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]
+    return {"sigs": fp1, "pairs": fp2, "members": fp3, "keep_best": fp4}
+
+
+def shared_run_dir(input_paths: list[str]) -> str:
+    """The per-user, input-fingerprint-keyed durable run_dir: fresh
+    sessions over unchanged inputs resume each other's committed stages
+    (queries/textops.py::dedup_pipeline holds the flock that serializes
+    concurrent writers on it)."""
+    import getpass
+    import os
+    import tempfile
+
+    fp = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
+    return os.path.join(tempfile.gettempdir(),
+                        f"kgpipe-dedup-{getpass.getuser()}-{fp}")
+
+
 def run_dedup_checkpointed(
     spark: SparkSession,
     corpus: DataFrame,
@@ -67,10 +92,9 @@ def run_dedup_checkpointed(
     input; the corpus transform itself must be deterministic given those
     files (true for all fixture corpora here).
     """
-    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
-    fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
-    fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
-    fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]
+    fps = stage_fingerprints(input_paths)
+    fp1, fp2, fp3, fp4 = (fps["sigs"], fps["pairs"], fps["members"],
+                          fps["keep_best"])
 
     run = CheckpointedRun(spark, run_dir)
     s1 = run.stage("sigs", corpus, minhash_sigs_over,

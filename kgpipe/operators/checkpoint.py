@@ -262,6 +262,24 @@ class CheckpointedRun:
             wall_ms=wall_ms,
         )
 
+    def load_committed(self, name: str, fingerprint: str,
+                       n_buckets: int = 32) -> DataFrame | None:
+        """The read-only twin of :meth:`stage`: return the stage's
+        committed output WITHOUT computing anything, or None unless EVERY
+        bucket is 'done' under ``fingerprint`` and validates against the
+        files on disk. For consumers that can reuse a committed stage
+        table when one exists but have their own compute path otherwise
+        (e.g. the near-dup query family reading dedup_pipeline's durable
+        members table in a fresh session)."""
+        done = self._read_manifest(name, fingerprint)
+        if set(done) != set(range(n_buckets)):
+            return None
+        try:
+            return self._read_stage_output(
+                name, os.path.join(self.run_dir, name, "data"), done)
+        except RuntimeError:
+            return None
+
     def _read_stage_output(self, name: str, data_dir: str,
                            done: dict[int, dict]) -> DataFrame:
         """Read a stage's parquet output after validating EVERY manifest

@@ -703,13 +703,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cluster_members(spark: SparkSession, sf_dir: str,
                      key: str = "lsh_pairs",
-                     pairs_fn=None) -> DataFrame:
+                     pairs_fn=None, committed=None) -> DataFrame:
     """LSH pairs -> CC -> (doc, cluster_id) long columns, session-cached.
 
     ``pairs_fn`` is a thunk (not a DataFrame) so a cache hit skips even the
-    eager signature-checkpoint job the pairs construction runs."""
+    eager signature-checkpoint job the pairs construction runs.
+    ``committed`` is an optional thunk returning an already-durable form of
+    the SAME members table (or None): when dedup_pipeline has committed its
+    stage tables for this input, a fresh session reads them instead of
+    re-running sigs -> pairs -> CC — the stage-table sharing a real
+    100-TB pipeline gets by writing stages as tables."""
 
     def build() -> DataFrame:
+        if committed is not None:
+            m = committed()
+            if m is not None:
+                return m
         p = pairs_fn() if pairs_fn is not None else minhash_lsh_pairs(
             spark, sf_dir)
         return members_from_pairs(p)
@@ -804,9 +813,27 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     members = _cluster_members(
         spark, sf_dir, key="neardup",
-        pairs_fn=lambda: _lsh_pairs_over(_neardup_corpus_spark(spark, sf_dir)))
+        pairs_fn=lambda: _lsh_pairs_over(_neardup_corpus_spark(spark, sf_dir)),
+        committed=lambda: _committed_neardup_members(spark, sf_dir))
     return keep_best_from_members(
         members, _neardup_corpus_spark(spark, sf_dir))
+
+
+def _committed_neardup_members(spark: SparkSession, sf_dir: str):
+    """dedup_pipeline's durable 'members' stage for this input, if fully
+    committed and disk-valid — the two queries compute the identical table
+    (same corpus, same capped pairs, same CC), pinned by their SHARED
+    recursive-closure oracle, so reading the committed stage is pure reuse,
+    not an approximation. Returns None when absent/stale/partial."""
+    import os
+
+    from kgpipe.dedup_pipeline import shared_run_dir, stage_fingerprints
+    from kgpipe.operators.checkpoint import CheckpointedRun
+
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    run = CheckpointedRun(spark, shared_run_dir(paths))
+    return run.load_committed(
+        "members", stage_fingerprints(paths)["members"], n_buckets=1)
 
 
 def keep_best_from_members(members: DataFrame,
@@ -856,17 +883,12 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     applicationId-suffixed dir (correct, just without cross-process
     sharing) instead of interleaving bucket writes with the lock holder."""
     import fcntl as _fcntl
-    import getpass as _gp
     import os as _os
-    import tempfile as _tf
 
-    from kgpipe.dedup_pipeline import DEDUP_PARAMS, run_dedup_checkpointed
-    from kgpipe.operators.checkpoint import input_fingerprint
+    from kgpipe.dedup_pipeline import run_dedup_checkpointed, shared_run_dir
 
     input_paths = [_os.path.join(sf_dir, "documents.parquet")]
-    fp = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
-    run_dir = _os.path.join(
-        _tf.gettempdir(), f"kgpipe-dedup-{_gp.getuser()}-{fp}")
+    run_dir = shared_run_dir(input_paths)
     _os.makedirs(run_dir, exist_ok=True)
     lock = open(_os.path.join(run_dir, ".lock"), "w")
     try:

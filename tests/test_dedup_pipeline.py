@@ -151,3 +151,62 @@ def test_registered_query_run_dir_is_fingerprint_keyed(spark):
     for s, m in manifests.items():
         assert os.path.getmtime(
             os.path.join(run_dir, s, "manifest.jsonl")) == m, s
+
+
+def test_load_committed_reads_only_complete_valid_stages(
+        spark, tmp_path_factory):
+    """CheckpointedRun.load_committed: returns the committed stage table
+    only when every bucket is done under the right fingerprint and disk
+    matches the manifest; None otherwise — never a partial subset."""
+    import shutil
+
+    from kgpipe.dedup_pipeline import run_dedup_checkpointed as run_ck
+    from kgpipe.dedup_pipeline import stage_fingerprints
+    from kgpipe.operators.checkpoint import CheckpointedRun
+
+    run_dir = str(tmp_path_factory.mktemp("dedup-load"))
+    paths = [os.path.join(SF_DIR, "documents.parquet")]
+    corpus = _neardup_corpus_spark(spark, SF_DIR)
+    out = run_ck(spark, corpus, paths, run_dir)
+    fps = stage_fingerprints(paths)
+
+    run = CheckpointedRun(spark, run_dir)
+    loaded = run.load_committed("members", fps["members"], n_buckets=1)
+    assert loaded is not None
+    assert _rows(loaded) == _rows(out["members"])
+    # wrong fingerprint -> None (and, per the stage contract, the stale
+    # stage dir is invalidated)
+    assert run.load_committed("pairs", "not-the-fingerprint",
+                              n_buckets=1) is None
+    # out-of-band deletion of the data -> None, not a partial read
+    shutil.rmtree(os.path.join(run_dir, "members", "data"),
+                  ignore_errors=True)
+    run2 = CheckpointedRun(spark, run_dir)
+    assert run2.load_committed("members", fps["members"],
+                               n_buckets=1) is None
+
+
+def test_near_dup_keep_best_reuses_committed_members(
+        spark, direct_keep_best, monkeypatch, tmp_path_factory):
+    """After dedup_pipeline commits its stages, a fresh session's
+    near_dup_keep_best must read the durable members table instead of
+    recomputing sigs -> pairs -> CC — and produce the identical keep-set."""
+    import kgpipe.dedup_pipeline as dp
+    from kgpipe.queries import textops
+
+    run_dir = str(tmp_path_factory.mktemp("dedup-share"))
+    monkeypatch.setattr(dp, "shared_run_dir", lambda paths: run_dir)
+    paths = [os.path.join(SF_DIR, "documents.parquet")]
+    dp.run_dedup_checkpointed(
+        spark, _neardup_corpus_spark(spark, SF_DIR), paths, run_dir)
+
+    # fresh "session" for the cache: drop any cached members entry
+    for k in [k for k in list(textops._CACHE) if "members" in k]:
+        del textops._CACHE[k]
+
+    def boom(*a, **kw):
+        raise AssertionError("pairs recomputed despite committed stages")
+
+    monkeypatch.setattr(textops, "_lsh_pairs_over", boom)
+    got = textops.near_dup_keep_best(spark, SF_DIR)
+    assert _rows(got) == direct_keep_best
