@@ -53,29 +53,55 @@ DEDUP_PARAMS = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
                 "v": 1}
 
 
-def stage_fingerprints(input_paths: list[str]) -> dict[str, str]:
+# The corpus TRANSFORM is part of the fingerprint, not just the input
+# files: run_dedup_checkpointed is generic over any (doc_id, text) corpus,
+# and two different transforms of the same documents.parquet must never
+# share stage tables. Bump when _neardup_corpus_spark changes shape.
+NEARDUP_CORPUS_TAG = "neardup-zzz-v1"
+
+
+def stage_fingerprints(input_paths: list[str],
+                       corpus: str = NEARDUP_CORPUS_TAG) -> dict[str, str]:
     """The chained A14 fingerprints for every stage — the single source of
     truth shared by the run itself and any read-only consumer of its
     committed stage tables (CheckpointedRun.load_committed)."""
-    fp1 = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
+    fp1 = input_fingerprint(
+        input_paths, {"stage": "sigs", "corpus": corpus, **DEDUP_PARAMS})
     fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
     fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
     fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]
     return {"sigs": fp1, "pairs": fp2, "members": fp3, "keep_best": fp4}
 
 
-def shared_run_dir(input_paths: list[str]) -> str:
+def shared_run_dir(input_paths: list[str],
+                   fp: str | None = None) -> str | None:
     """The per-user, input-fingerprint-keyed durable run_dir: fresh
     sessions over unchanged inputs resume each other's committed stages
     (queries/textops.py::dedup_pipeline holds the flock that serializes
-    concurrent writers on it)."""
+    concurrent writers on it).
+
+    ``fp``: pass ``stage_fingerprints(...)['sigs']`` when already computed
+    — re-stat'ing the inputs here would both duplicate I/O and open a
+    TOCTOU window where the dir and the probe fingerprint disagree.
+
+    The shared dirs live under a mode-0700 per-user ROOT whose ownership
+    is verified: on a multi-user host, world-writable /tmp would let
+    another user pre-create the predictable path and feed a forged stage
+    table to a reader. If the root exists but is not ours, returns None —
+    callers fall back to private non-shared dirs."""
     import getpass
     import os
     import tempfile
 
-    fp = input_fingerprint(input_paths, {"stage": "sigs", **DEDUP_PARAMS})
-    return os.path.join(tempfile.gettempdir(),
-                        f"kgpipe-dedup-{getpass.getuser()}-{fp}")
+    if fp is None:
+        fp = stage_fingerprints(input_paths)["sigs"]
+    root = os.path.join(tempfile.gettempdir(),
+                        f"kgpipe-dedup-{getpass.getuser()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        return None
+    return os.path.join(root, fp)
 
 
 def run_dedup_checkpointed(
@@ -84,6 +110,7 @@ def run_dedup_checkpointed(
     input_paths: list[str],
     run_dir: str,
     n_buckets: int = 16,
+    fps: dict[str, str] | None = None,
 ) -> dict[str, object]:
     """Run the near-dup pipeline over ``corpus`` (doc_id, text) with every
     stage checkpointed under ``run_dir``.
@@ -92,7 +119,8 @@ def run_dedup_checkpointed(
     input; the corpus transform itself must be deterministic given those
     files (true for all fixture corpora here).
     """
-    fps = stage_fingerprints(input_paths)
+    if fps is None:
+        fps = stage_fingerprints(input_paths)
     fp1, fp2, fp3, fp4 = (fps["sigs"], fps["pairs"], fps["members"],
                           fps["keep_best"])
 

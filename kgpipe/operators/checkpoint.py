@@ -118,11 +118,15 @@ class CheckpointedRun:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.run_dir, stage, "manifest.jsonl")
 
-    def _read_manifest(self, stage: str, fingerprint: str) -> dict[int, dict]:
+    def _read_manifest(self, stage: str, fingerprint: str,
+                       invalidate_stale: bool = True) -> dict[int, dict]:
         """Completed buckets for ``fingerprint``. If the manifest carries a
         DIFFERENT fingerprint the input changed: wipe the whole stage dir
         (data + manifest) so stale buckets from the old input can never
-        leak into a read of the new run's output."""
+        leak into a read of the new run's output. Read-only probes
+        (:meth:`load_committed`) pass ``invalidate_stale=False`` — they
+        hold no lock on the run_dir, so deleting under a concurrent
+        writer is not theirs to do."""
         path = self._manifest_path(stage)
         done: dict[int, dict] = {}
         if not os.path.exists(path):
@@ -140,9 +144,11 @@ class CheckpointedRun:
                 if row.get("status") == "done":
                     done[int(row["bucket"])] = row
         if stale:
-            import shutil
+            if invalidate_stale:
+                import shutil
 
-            shutil.rmtree(os.path.join(self.run_dir, stage), ignore_errors=True)
+                shutil.rmtree(os.path.join(self.run_dir, stage),
+                              ignore_errors=True)
             return {}
         return done
 
@@ -270,14 +276,23 @@ class CheckpointedRun:
         files on disk. For consumers that can reuse a committed stage
         table when one exists but have their own compute path otherwise
         (e.g. the near-dup query family reading dedup_pipeline's durable
-        members table in a fresh session)."""
-        done = self._read_manifest(name, fingerprint)
-        if set(done) != set(range(n_buckets)):
-            return None
+        members table in a fresh session).
+
+        Genuinely read-only: a stale fingerprint returns None WITHOUT the
+        stage-wipe the compute path performs (this probe holds no lock on
+        the run_dir), and every absorb-and-fall-back failure mode a shared
+        /tmp dir can produce — torn manifest line (JSONDecodeError),
+        truncated/corrupt parquet (pyarrow's ValueError subclasses),
+        vanished files (OSError), count mismatch (RuntimeError) — returns
+        None rather than crashing a caller that has its own compute path."""
         try:
+            done = self._read_manifest(name, fingerprint,
+                                       invalidate_stale=False)
+            if set(done) != set(range(n_buckets)):
+                return None
             return self._read_stage_output(
                 name, os.path.join(self.run_dir, name, "data"), done)
-        except RuntimeError:
+        except (RuntimeError, OSError, ValueError):
             return None
 
     def _read_stage_output(self, name: str, data_dir: str,

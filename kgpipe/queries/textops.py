@@ -822,18 +822,23 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _committed_neardup_members(spark: SparkSession, sf_dir: str):
     """dedup_pipeline's durable 'members' stage for this input, if fully
     committed and disk-valid — the two queries compute the identical table
-    (same corpus, same capped pairs, same CC), pinned by their SHARED
-    recursive-closure oracle, so reading the committed stage is pure reuse,
-    not an approximation. Returns None when absent/stale/partial."""
+    (same corpus tag in the fingerprint, same capped pairs, same CC),
+    pinned by their SHARED recursive-closure oracle, so reading the
+    committed stage is pure reuse, not an approximation. Returns None when
+    absent/stale/partial; a pure probe — creates nothing, deletes
+    nothing."""
     import os
 
     from kgpipe.dedup_pipeline import shared_run_dir, stage_fingerprints
     from kgpipe.operators.checkpoint import CheckpointedRun
 
     paths = [os.path.join(sf_dir, "documents.parquet")]
-    run = CheckpointedRun(spark, shared_run_dir(paths))
-    return run.load_committed(
-        "members", stage_fingerprints(paths)["members"], n_buckets=1)
+    fps = stage_fingerprints(paths)
+    run_dir = shared_run_dir(paths, fp=fps["sigs"])
+    if run_dir is None or not os.path.isdir(run_dir):
+        return None
+    run = CheckpointedRun(spark, run_dir)
+    return run.load_committed("members", fps["members"], n_buckets=1)
 
 
 def keep_best_from_members(members: DataFrame,
@@ -878,29 +883,46 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A shared fingerprint-keyed dir means two PROCESSES can now race on it
     (the old applicationId key was per-process by construction), so the
-    dir is per-user and the run holds an exclusive non-blocking ``flock``;
-    a process that finds the lock already held falls back to a private
-    applicationId-suffixed dir (correct, just without cross-process
-    sharing) instead of interleaving bucket writes with the lock holder."""
+    dir lives under an ownership-verified mode-0700 per-user root and the
+    run holds an exclusive non-blocking ``flock``; a process that finds
+    the lock already held (or an unusable shared root) falls back to a
+    private applicationId-suffixed dir (correct, just without
+    cross-process sharing) instead of interleaving bucket writes with the
+    lock holder."""
+    import contextlib
     import fcntl as _fcntl
     import os as _os
+    import tempfile as _tf
 
-    from kgpipe.dedup_pipeline import run_dedup_checkpointed, shared_run_dir
+    from kgpipe.dedup_pipeline import (
+        run_dedup_checkpointed,
+        shared_run_dir,
+        stage_fingerprints,
+    )
 
     input_paths = [_os.path.join(sf_dir, "documents.parquet")]
-    run_dir = shared_run_dir(input_paths)
-    _os.makedirs(run_dir, exist_ok=True)
-    lock = open(_os.path.join(run_dir, ".lock"), "w")
-    try:
-        try:
-            _fcntl.flock(lock, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
-        except OSError:
-            run_dir += "-" + spark.sparkContext.applicationId
+    # fingerprint the inputs ONCE: dir choice and stage fingerprints must
+    # come from the same stat pass or a concurrent input rewrite pairs an
+    # old dir with new fingerprints
+    fps = stage_fingerprints(input_paths)
+    run_dir = shared_run_dir(input_paths, fp=fps["sigs"])
+    private = _os.path.join(
+        _tf.gettempdir(),
+        f"kgpipe-dedup-private-{spark.sparkContext.applicationId}")
+    with contextlib.ExitStack() as stack:
+        if run_dir is None:
+            run_dir = private  # shared root unusable (not ours)
+        else:
+            _os.makedirs(run_dir, exist_ok=True)
+            lock = stack.enter_context(
+                open(_os.path.join(run_dir, ".lock"), "w"))
+            try:
+                _fcntl.flock(lock, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+            except OSError:
+                run_dir = private  # another live process is mid-run
         out = run_dedup_checkpointed(
             spark, _neardup_corpus_spark(spark, sf_dir),
-            [_os.path.join(sf_dir, "documents.parquet")], run_dir)
-    finally:
-        lock.close()
+            input_paths, run_dir, fps=fps)
     return out["keep_best"]
 
 

@@ -195,7 +195,8 @@ def test_near_dup_keep_best_reuses_committed_members(
     from kgpipe.queries import textops
 
     run_dir = str(tmp_path_factory.mktemp("dedup-share"))
-    monkeypatch.setattr(dp, "shared_run_dir", lambda paths: run_dir)
+    monkeypatch.setattr(dp, "shared_run_dir",
+                        lambda paths, fp=None: run_dir)
     paths = [os.path.join(SF_DIR, "documents.parquet")]
     dp.run_dedup_checkpointed(
         spark, _neardup_corpus_spark(spark, SF_DIR), paths, run_dir)
