@@ -240,10 +240,18 @@ def snapshot_ids(path: str) -> list[int]:
                   if fn.startswith("snap-") and fn.endswith(".json"))
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+def expire_snapshots(path: str, keep_last: int = 1,
+                     staging_max_age_s: float = 86400.0) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest);
-    never expires the current pointer's snapshot. Returns expired ids."""
+    never expires the current pointer's snapshot. Returns expired ids.
+
+    Also garbage-collects ``data/.staging-*`` dirs older than
+    ``staging_max_age_s`` — orphans from writers that crashed before their
+    metadata commit (Iceberg's remove_orphan_files, scoped to the one
+    place this layout can orphan). The age guard keeps a LIVE concurrent
+    writer's staging dir safe: its files are at most minutes old."""
     import shutil
+    import time
 
     ids = snapshot_ids(path)
     current = _current_snapshot_id(path)
@@ -252,4 +260,12 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
         shutil.rmtree(os.path.join(path, "data", f"snap-{sid:06d}"),
                       ignore_errors=True)
         os.remove(os.path.join(_meta_dir(path), f"snap-{sid:06d}.json"))
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        cutoff = time.time() - staging_max_age_s
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if (d.startswith(".staging-") and os.path.isdir(full)
+                    and os.path.getmtime(full) < cutoff):
+                shutil.rmtree(full, ignore_errors=True)
     return expire

@@ -137,3 +137,23 @@ def test_concurrent_writers_both_commit(spark, tmp_path, v1_rows):
     # no staging leftovers after successful commits
     assert not [d for d in os.listdir(os.path.join(path, "data"))
                 if d.startswith(".staging-")]
+
+
+def test_expire_cleans_old_staging_orphans(spark, tmp_path, v1_rows):
+    """A writer that crashed before its metadata commit leaves a
+    data/.staging-* orphan; expire_snapshots GCs it once old, but never
+    touches a recent one (a live concurrent writer's dir)."""
+    import time
+
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    old = os.path.join(path, "data", ".staging-deadbeef")
+    new = os.path.join(path, "data", ".staging-cafebabe")
+    os.makedirs(old)
+    os.makedirs(new)
+    past = time.time() - 100000
+    os.utime(old, (past, past))
+    expire_snapshots(path, keep_last=1)
+    assert not os.path.exists(old)
+    assert os.path.exists(new)
+    assert read_triples(spark, path).count() == 30
