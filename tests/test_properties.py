@@ -63,3 +63,51 @@ def test_portable_hash_matches_duckdb_on_random_strings(spark):
         for s in strings
     ]
     assert got == want
+
+
+# a tiny fixed gazetteer; texts are RANDOM, so the property exercises
+# every miss/partial-overlap/boundary shape around these aliases
+_GAZ_DICT = pd.DataFrame({
+    "alias": ["acme corp", "acme", "bob lee", "zurich"],
+    "entity_id": ["org0", "org0", "per0", "loc0"],
+    "prior": [0.9, 0.8, 0.9, 0.9],
+    "ent_class": ["ORG", "PER", "PER", "PLACE"],
+})
+
+_words = st.lists(
+    st.sampled_from(["acme", "corp", "bob", "lee", "zurich", "the",
+                     "at", "works", "x1", "--", "ACME", "Corp"]),
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_words.map(" ".join), max_size=6))
+def test_labeler_span_invariants(texts):
+    """Every span the gazetteer labeler emits must lie inside its text,
+    align exactly on token boundaries of a dictionary alias (normalized),
+    carry a known class, and never overlap a neighbor — the invariants
+    extract_mentions / linking / the digest UDF all assume."""
+    from kgpipe.operators.labeler import (
+        build_gazetteer,
+        build_transitions,
+        label_texts,
+    )
+    from kgpipe.schemas import ENT_CLASSES
+
+    aliases = {a for a in _GAZ_DICT["alias"]}
+    s = pd.Series(texts, dtype="object")
+    out = label_texts(s, build_gazetteer(_GAZ_DICT), build_transitions())
+    assert len(out) == len(texts)
+    for text, spans in zip(texts, out):
+        prev_end = -1
+        for (a, b, cls, score) in sorted(spans):
+            assert 0 <= a < b <= len(text)
+            assert cls in ENT_CLASSES
+            surface = " ".join(text[a:b].lower().split())
+            assert surface in aliases, (text, a, b, surface)
+            # token-aligned: span edges touch whitespace or text edges
+            assert a == 0 or text[a - 1] == " "
+            assert b == len(text) or text[b] == " "
+            assert a >= prev_end, "overlapping spans"
+            prev_end = b
