@@ -87,20 +87,36 @@ def shared_run_dir(input_paths: list[str],
     The shared dirs live under a mode-0700 per-user ROOT whose ownership
     is verified: on a multi-user host, world-writable /tmp would let
     another user pre-create the predictable path and feed a forged stage
-    table to a reader. If the root exists but is not ours, returns None —
+    table to a reader. The probe uses ``lstat`` (a symlink planted at the
+    predictable path must not be followed to a stat of its target) and
+    rejects non-directories outright; a pre-existing root with group/
+    world-writable bits is repaired with chmod 0700 when we own it —
+    ``makedirs(exist_ok=True)`` does not re-apply the mode, so a root
+    created loose by an older version would otherwise stay loose forever.
+    If the root is not ours (or not a real directory), returns None —
     callers fall back to private non-shared dirs."""
     import getpass
     import os
+    import stat as _stat
     import tempfile
 
     if fp is None:
         fp = stage_fingerprints(input_paths)["sigs"]
     root = os.path.join(tempfile.gettempdir(),
                         f"kgpipe-dedup-{getpass.getuser()}")
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
-    if st.st_uid != os.getuid():
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.lstat(root)
+    except OSError:
         return None
+    if (st.st_uid != os.getuid() or _stat.S_ISLNK(st.st_mode)
+            or not _stat.S_ISDIR(st.st_mode)):
+        return None
+    if st.st_mode & 0o077:
+        try:
+            os.chmod(root, 0o700)
+        except OSError:
+            return None
     return os.path.join(root, fp)
 
 

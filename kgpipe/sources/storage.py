@@ -83,9 +83,20 @@ def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int,
                 continue
             fp = os.path.join(root, fn)
             rel = os.path.relpath(fp, path)
-            # partition value from the hive-style dir name
+            # partition value from the hive-style dir name. Spark hive-
+            # ESCAPES special chars in the dir name (%3A for ':', etc.) and
+            # writes __HIVE_DEFAULT_PARTITION__ for null — the manifest
+            # records the RAW value (unescaped, null as None) because
+            # read_triples(pred=...) compares raw values: an escaped value
+            # in the manifest would make metadata pruning silently return
+            # an empty scan for any pred containing such characters.
+            from urllib.parse import unquote
+
             part = next((seg.split("=", 1)[1] for seg in rel.split(os.sep)
                          if seg.startswith("pred=")), None)
+            if part is not None:
+                part = (None if part == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(part))
             pf = pq.ParquetFile(fp)
             md = pf.metadata
             smin = smax = None
@@ -198,7 +209,16 @@ def read_triples(spark: SparkSession, path: str,
             r = r.option("snapshot-id", snapshot_id)
         df = r.load(path)
         return df.filter(F.col("pred") == pred) if pred else df
-    sid = snapshot_id if snapshot_id is not None else _current_snapshot_id(path)
+    current = _current_snapshot_id(path)
+    if snapshot_id is not None and (current is None or snapshot_id > current):
+        # ids beyond the current pointer are orphans from a crashed commit
+        # (manifest written, pointer swap never happened) — they were never
+        # committed, and the write path rmtree's their data on retry, so
+        # planning a scan from one would read vanishing files
+        raise ValueError(
+            f"snapshot {snapshot_id} was never committed at {path} "
+            f"(current is {current}); committed ids: {snapshot_ids(path)}")
+    sid = snapshot_id if snapshot_id is not None else current
     if sid is None:
         # pre-snapshot layout (plain partitioned parquet) — directory read
         df = spark.read.parquet(path)
@@ -232,7 +252,8 @@ def read_triples(spark: SparkSession, path: str,
             .parquet(*[os.path.join(path, m["path"]) for m in files]))
 
 
-def snapshot_ids(path: str) -> list[int]:
+def _manifest_ids(path: str) -> list[int]:
+    """Every snap manifest on disk, committed or not (internal: expiry GC)."""
     md = _meta_dir(path)
     if not os.path.isdir(md):
         return []
@@ -240,32 +261,62 @@ def snapshot_ids(path: str) -> list[int]:
                   if fn.startswith("snap-") and fn.endswith(".json"))
 
 
+def snapshot_ids(path: str) -> list[int]:
+    """COMMITTED snapshot ids: a manifest alone is not a snapshot — a crash
+    between manifest write and pointer swap leaves an orphan manifest whose
+    id is > current, never referenced, and replaced by the next writer's
+    retry. Listing it would invite a time-travel read of vanishing files."""
+    current = _current_snapshot_id(path)
+    if current is None:
+        return []
+    return [i for i in _manifest_ids(path) if i <= current]
+
+
 def expire_snapshots(path: str, keep_last: int = 1,
                      staging_max_age_s: float = 86400.0) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (data + manifest);
     never expires the current pointer's snapshot. Returns expired ids.
 
-    Also garbage-collects ``data/.staging-*`` dirs older than
-    ``staging_max_age_s`` — orphans from writers that crashed before their
-    metadata commit (Iceberg's remove_orphan_files, scoped to the one
-    place this layout can orphan). The age guard keeps a LIVE concurrent
-    writer's staging dir safe: its files are at most minutes old."""
+    Also garbage-collects two classes of crashed-writer debris:
+    ``data/.staging-*`` dirs older than ``staging_max_age_s`` (a writer
+    that died before its metadata commit — Iceberg's remove_orphan_files,
+    scoped to the one place this layout can orphan) and orphan MANIFESTS
+    with ids beyond the current pointer (a writer that died between
+    manifest write and pointer swap). The whole pass runs under the same
+    ``commit.lock`` flock as the write path, so it can never race a live
+    commit (a live writer's id-beyond-current window is lock-held) or a
+    concurrent expiry; the age guard additionally keeps a not-yet-locked
+    writer's staging dir safe — its files are at most minutes old."""
+    import contextlib
+    import fcntl
     import shutil
     import time
 
-    ids = snapshot_ids(path)
-    current = _current_snapshot_id(path)
-    expire = [i for i in ids[:-keep_last] if i != current] if keep_last else []
-    for sid in expire:
+    def rm_snapshot(sid: int) -> None:
         shutil.rmtree(os.path.join(path, "data", f"snap-{sid:06d}"),
                       ignore_errors=True)
-        os.remove(os.path.join(_meta_dir(path), f"snap-{sid:06d}.json"))
-    data_dir = os.path.join(path, "data")
-    if os.path.isdir(data_dir):
-        cutoff = time.time() - staging_max_age_s
-        for d in os.listdir(data_dir):
-            full = os.path.join(data_dir, d)
-            if (d.startswith(".staging-") and os.path.isdir(full)
-                    and os.path.getmtime(full) < cutoff):
-                shutil.rmtree(full, ignore_errors=True)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(_meta_dir(path), f"snap-{sid:06d}.json"))
+
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    with open(os.path.join(_meta_dir(path), "commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        ids = snapshot_ids(path)
+        current = _current_snapshot_id(path)
+        expire = ([i for i in ids[:-keep_last] if i != current]
+                  if keep_last else [])
+        for sid in expire:
+            rm_snapshot(sid)
+        if current is not None:
+            for sid in _manifest_ids(path):
+                if sid > current:
+                    rm_snapshot(sid)
+        data_dir = os.path.join(path, "data")
+        if os.path.isdir(data_dir):
+            cutoff = time.time() - staging_max_age_s
+            for d in os.listdir(data_dir):
+                full = os.path.join(data_dir, d)
+                if (d.startswith(".staging-") and os.path.isdir(full)
+                        and os.path.getmtime(full) < cutoff):
+                    shutil.rmtree(full, ignore_errors=True)
     return expire

@@ -129,17 +129,17 @@ def test_registered_query_run_dir_is_fingerprint_keyed(spark):
     stage data (manifest mtimes unchanged) while returning the same rows."""
     import os
 
-    from kgpipe.dedup_pipeline import DEDUP_PARAMS
-    from kgpipe.operators.checkpoint import input_fingerprint
+    from kgpipe.dedup_pipeline import shared_run_dir, stage_fingerprints
     from kgpipe.queries import QUERIES
 
     sf = SF_DIR
-    fp = input_fingerprint(
-        [os.path.join(sf, "documents.parquet")],
-        {"stage": "sigs", **DEDUP_PARAMS})
-    assert spark.sparkContext.applicationId not in fp
-    import tempfile
-    run_dir = os.path.join(tempfile.gettempdir(), "kgpipe-dedup-" + fp)
+    paths = [os.path.join(sf, "documents.parquet")]
+    # derive the dir exactly the way the query does (single source of
+    # truth) — hand-rebuilding the layout here went stale once already
+    fps = stage_fingerprints(paths)
+    assert spark.sparkContext.applicationId not in fps["sigs"]
+    run_dir = shared_run_dir(paths, fp=fps["sigs"])
+    assert run_dir is not None
 
     first = {tuple(r) for r in QUERIES["dedup_pipeline"](spark, sf).collect()}
     manifests = {
@@ -151,6 +151,43 @@ def test_registered_query_run_dir_is_fingerprint_keyed(spark):
     for s, m in manifests.items():
         assert os.path.getmtime(
             os.path.join(run_dir, s, "manifest.jsonl")) == m, s
+
+
+def test_shared_run_dir_rejects_symlink_and_repairs_loose_mode(
+        monkeypatch, tmp_path):
+    """The forged-stage-table defense: a symlink planted at the predictable
+    root path must be rejected (lstat, not stat), and a pre-existing root
+    with group/world-writable bits must be chmod'd back to 0700 before the
+    path is trusted — makedirs(exist_ok=True) alone never re-applies the
+    mode."""
+    import getpass
+    import os
+    import stat
+    import tempfile
+
+    from kgpipe.dedup_pipeline import shared_run_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    paths = [os.path.join(SF_DIR, "documents.parquet")]
+    root = tmp_path / f"kgpipe-dedup-{getpass.getuser()}"
+
+    # fresh root: created 0700, usable
+    d = shared_run_dir(paths)
+    assert d is not None and str(root) in d
+    assert stat.S_IMODE(os.lstat(root).st_mode) == 0o700
+
+    # loosened root (old-version artifact): repaired, still usable
+    os.chmod(root, 0o777)
+    d = shared_run_dir(paths)
+    assert d is not None
+    assert stat.S_IMODE(os.lstat(root).st_mode) == 0o700
+
+    # symlinked root: rejected even though the target is ours and 0700
+    target = tmp_path / "elsewhere"
+    target.mkdir(mode=0o700)
+    os.rename(root, tmp_path / "moved-away")
+    os.symlink(target, root)
+    assert shared_run_dir(paths) is None
 
 
 def test_load_committed_reads_only_complete_valid_stages(

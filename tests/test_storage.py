@@ -107,6 +107,54 @@ def test_uncommitted_snapshot_is_invisible(spark, tmp_path, v1_rows):
     assert read_triples(spark, path).count() == 1
 
 
+def test_orphan_manifest_invisible_to_listing_and_time_travel(
+        spark, tmp_path, v1_rows):
+    """Crash BETWEEN manifest write and pointer swap: the orphan manifest
+    (id > current) must not appear in snapshot_ids(), must not be readable
+    via time travel (the next writer's retry rmtree's its data while a
+    reader could be mid-scan), and expire_snapshots must GC it."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    shutil.copytree(os.path.join(path, "data", "snap-000001"),
+                    os.path.join(path, "data", "snap-000002"))
+    shutil.copy(os.path.join(path, "metadata", "snap-000001.json"),
+                os.path.join(path, "metadata", "snap-000002.json"))
+    assert snapshot_ids(path) == [1]
+    with pytest.raises(ValueError, match="never committed"):
+        read_triples(spark, path, snapshot_id=2)
+    expire_snapshots(path, keep_last=10)
+    assert not os.path.exists(
+        os.path.join(path, "metadata", "snap-000002.json"))
+    assert not os.path.isdir(os.path.join(path, "data", "snap-000002"))
+    # the committed snapshot is untouched
+    assert read_triples(spark, path).count() == 30
+
+
+def test_hive_escaped_pred_values_prune_correctly(spark, tmp_path):
+    """Predicates with URL-escaped characters (':' -> %3A in the hive dir
+    name) must round-trip through the manifest RAW, so metadata pruning
+    matches them; null preds land under the hive default-partition
+    sentinel and are recorded as None."""
+    rows = [("s1", "rdf:type", "o1", "c0", 0, 1.0),
+            ("s2", "plain", "o2", "c1", 1, 1.0),
+            ("s3", None, "o3", "c2", 2, 1.0)]
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, rows), path)
+    snap = json.load(open(os.path.join(path, "metadata", "snap-000001.json")))
+    vals = {m["partition"]["pred"] for m in snap["manifest"]}
+    assert vals == {"rdf:type", "plain", None}
+    pruned = read_triples(spark, path, pred="rdf:type")
+    assert [r.subj for r in pruned.collect()] == ["s1"]
+    # the on-disk dir really is hive-escaped (that's what the unquote in
+    # the manifest builder exists for), and the pruned scan reads only it
+    dirs = os.listdir(os.path.join(path, "data", "snap-000001"))
+    assert "pred=rdf%3Atype" in dirs
+    assert all("rdf" in f for f in pruned.inputFiles())
+    assert len(pruned.inputFiles()) < 3
+
+
 def test_pruned_to_empty_read_keeps_full_schema(spark, tmp_path, v1_rows):
     """A pred that matches no manifest file must return the SAME schema a
     non-empty read carries (recorded in the manifest like Iceberg's table
