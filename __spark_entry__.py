@@ -33,9 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for every SQL-expressible query; omitted
-    entries (kg_*, approx_*) get the driver's rows-only check and carry
-    golden-output pytest coverage instead (SURVEY.md §5.2)."""
+    """DuckDB-runnable ANSI SQL for every SQL-expressible query. The kg_*
+    flagship rows replay the planted-gold fixture parquet (deterministic,
+    P/R exactly 1.0 — kgpipe/queries/kg.py docstring), so the pipeline is
+    value-hash-pinned end to end by the driver itself. Omitted entries
+    (kg_span_eval_per_class: trained-model diagnostic; approx_distinct:
+    engine-specific sketch) get the rows-only check and carry pytest
+    coverage instead (SURVEY.md §5.2)."""
     from kgpipe.queries import ORACLES
 
     return dict(ORACLES)

@@ -197,6 +197,7 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
 
     t_rows: list[tuple] = []
     g_rows: list[tuple] = []
+    m_rows: list[tuple] = []  # gold mentions: every rendered surface
 
     total_turns = n_convs * avg_turns
     hot_turns = int(total_turns * hot_frac)
@@ -207,6 +208,16 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
 
     def base(eid: str) -> str:
         return eid.split("~")[0]
+
+    def rm(eid: str, cls: str, conv_id: str, ti: int) -> str:
+        """_render_mention + gold-mention recording. Consumes exactly the
+        same rng draws as a bare _render_mention call, so adding the gold
+        mentions table changed NO transcript byte (the normalized surface
+        is recorded because raw surfaces are perturbed by _spacenoise and
+        case flips downstream; normalization is invariant to both)."""
+        s = _render_mention(reg, eid, rng)
+        m_rows.append((conv_id, ti, cls, _norm(s)))
+        return s
 
     for ci in range(n_convs):
         conv_id = f"conv{ci:06d}"
@@ -225,13 +236,13 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
                 kind = int(rng.integers(0, 3))
                 if kind == 0:  # T1: P works at O
                     p, o = pick("PER"), pick("ORG")
-                    text = (f"{_filler(rng)} {_render_mention(reg, p, rng)} works at "
-                            f"{_render_mention(reg, o, rng)} {_filler(rng)} .")
+                    text = (f"{_filler(rng)} {rm(p, 'PER', conv_id, ti)} works at "
+                            f"{rm(o, 'ORG', conv_id, ti)} {_filler(rng)} .")
                     g_rows.append((p, "works_at", o, conv_id, ti))
                 elif kind == 1:  # T2: O released X
                     o, x = pick("ORG"), pick("PROD")
-                    text = (f"{_render_mention(reg, o, rng)} released "
-                            f"{_render_mention(reg, x, rng)} {_filler(rng)} .")
+                    text = (f"{rm(o, 'ORG', conv_id, ti)} released "
+                            f"{rm(x, 'PROD', conv_id, ti)} {_filler(rng)} .")
                     g_rows.append((o, "released", x, conv_id, ti))
                 else:  # T3: P met P2 in L  -> (P met P2), (P2 located_in L)
                     p = pick("PER")
@@ -239,9 +250,9 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
                     while p2 == p:
                         p2 = pick("PER")
                     pl = pick("PLACE")
-                    text = (f"{_render_mention(reg, p, rng)} met "
-                            f"{_render_mention(reg, p2, rng)} in "
-                            f"{_render_mention(reg, pl, rng)} .")
+                    text = (f"{rm(p, 'PER', conv_id, ti)} met "
+                            f"{rm(p2, 'PER', conv_id, ti)} in "
+                            f"{rm(pl, 'PLACE', conv_id, ti)} .")
                     g_rows.append((p, "met", p2, conv_id, ti))
                     g_rows.append((p2, "located_in", pl, conv_id, ti))
                 t_rows.append((conv_id, ti, role, _spacenoise(text, rng), tool, ts))
@@ -250,13 +261,13 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
                 # T4 cross-turn: intro turn (one mention), then dangling
                 # predicate turn whose subject is resolved from the window.
                 p, o = pick("PER"), pick("ORG")
-                intro = f"{_filler(rng)} {_render_mention(reg, p, rng)} {_filler(rng)} ."
+                intro = f"{_filler(rng)} {rm(p, 'PER', conv_id, ti)} {_filler(rng)} ."
                 t_rows.append((conv_id, ti, role, _spacenoise(intro, rng), tool, ts))
                 ti += 1
                 ts = ts + timedelta(seconds=int(rng.integers(5, 120)))
                 role2 = roles[int(rng.integers(0, 10)) % 3]
                 tool2 = tools[int(rng.integers(0, 3))] if role2 == "tool" else None
-                dangle = (f"works at {_render_mention(reg, o, rng)} "
+                dangle = (f"works at {rm(o, 'ORG', conv_id, ti)} "
                           f"{_filler(rng)} .")
                 t_rows.append((conv_id, ti, role2, _spacenoise(dangle, rng), tool2, ts))
                 g_rows.append((p, "works_at", o, conv_id, ti))
@@ -265,7 +276,7 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
                 # mention-only filler turn (exactly one mention, no relation)
                 cls = ["PER", "ORG", "PROD", "PLACE"][int(rng.integers(0, 4))]
                 e = pick(cls)
-                text = f"{_filler(rng)} {_render_mention(reg, e, rng)} {_filler(rng)} ."
+                text = f"{_filler(rng)} {rm(e, cls, conv_id, ti)} {_filler(rng)} ."
                 t_rows.append((conv_id, ti, role, _spacenoise(text, rng), tool, ts))
                 ti += 1
             else:
@@ -284,10 +295,15 @@ def generate(n_convs: int = 20, seed: int = 42, hot_frac: float = 0.3,
     gold["turn_idx"] = gold["turn_idx"].astype(np.int32)
     gold = gold.drop_duplicates().reset_index(drop=True)
 
+    gold_mentions = pd.DataFrame(
+        m_rows, columns=["conv_id", "turn_idx", "ent_type", "surface_norm"])
+    gold_mentions["turn_idx"] = gold_mentions["turn_idx"].astype(np.int32)
+
     return {
         "transcripts": transcripts,
         "candidate_dict": reg.dict_df,
         "gold_triples": gold,
+        "gold_mentions": gold_mentions,
     }
 
 
@@ -319,8 +335,12 @@ def materialize(scale: str, base_dir: str = "/root/repo/.fixtures",
     candidate_dict.parquet, gold_triples.parquet.
     """
     n_convs, avg_turns = SCALES[scale]
+    # v6: + gold_mentions.parquet (every rendered mention, normalized
+    # surface) — transcript bytes are IDENTICAL to v5 (the recording
+    # consumes no rng draws), but the dir must regenerate to carry the
+    # new table the kg_mentions_by_class oracle replays
     key = json.dumps({"scale": scale, "n": n_convs, "t": avg_turns,
-                      "seed": seed, "v": 5})
+                      "seed": seed, "v": 6})
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
     out = os.path.join(base_dir, f"{scale}-{tag}")
     marker = os.path.join(out, "_DONE")

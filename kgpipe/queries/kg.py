@@ -1,7 +1,20 @@
-"""KG-pipeline queries for the driver surface (rows-only checks: the full
-extraction pipeline — Viterbi labeling, linking, canonicalization — is not
-SQL-expressible; its correctness gate is the planted-gold P/R pytest suite
-plus these deterministic row-level outputs).
+"""KG-pipeline queries for the driver surface.
+
+The extraction pipeline itself (Viterbi labeling, linking, canonicalization)
+is not SQL-expressible — but its OUTPUT is hash-checkable anyway: the
+fixture is deterministic and the pipeline's planted-gold P/R is exactly 1.0
+(pinned by tests/test_pipeline_e2e.py and re-verified every round), so the
+emitted triples equal ``gold_triples.parquet`` as a multiset and the mention
+stream equals the generator-recorded ``gold_mentions.parquet``. The DuckDB
+oracles below therefore REPLAY THE PLANTED GOLD — the strongest end-to-end
+evidence the driver harness can express: a full value-hash equality between
+the distributed pipeline and the ground truth it was planted from. Only
+``kg_span_eval_per_class`` stays rows-only (it diagnoses a TRAINED model's
+generalization; its bars live in tests/test_train.py).
+
+The oracle strings embed the absolute sf0.01 fixture path (the scale the
+driver compares at); the local parity harness rewrites that prefix to the
+matching scale when testing at sf0.001 (queries/parity.py).
 
 The transcripts fixture is generated deterministically per scale and cached;
 ``sf_dir`` maps onto the matching fixture scale so the driver's sf0.01 run
@@ -17,6 +30,14 @@ from kgpipe.fixtures.generator import materialize
 from kgpipe.queries.registry import register
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Generated (or reused from cache) at import: the driver may run an oracle
+# before its matching Spark query, so the gold parquet must exist by the
+# time the registry is populated. Generation is pure pandas, seconds at
+# sf0.01, and cached on disk across sessions.
+ORACLE_FIXTURE_DIR = materialize("sf0.01")
+_GOLD_T = f"read_parquet('{ORACLE_FIXTURE_DIR}/gold_triples.parquet')"
+_GOLD_M = f"read_parquet('{ORACLE_FIXTURE_DIR}/gold_mentions.parquet')"
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -50,13 +71,27 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
-@register("kg_triples")
+@register(
+    "kg_triples",
+    oracle=f"SELECT subj, pred, obj, conv_id, turn_idx FROM {_GOLD_T}",
+)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline's emitted triples, hash-checked against the
+    planted gold table row for row (P/R 1.0 by construction AND by
+    measurement — see the module docstring)."""
     return _triples(spark, sf_dir).select(
         "subj", "pred", "obj", "conv_id", "turn_idx")
 
 
-@register("kg_top_predicates")
+@register(
+    "kg_top_predicates",
+    oracle=f"""
+    SELECT pred, count(*) AS n_triples,
+           count(DISTINCT subj) AS n_subjects,
+           count(DISTINCT obj) AS n_objects
+    FROM {_GOLD_T} GROUP BY pred
+    """,
+)
 def kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _triples(spark, sf_dir)
@@ -69,13 +104,27 @@ def kg_top_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kg_mentions_by_class")
+@register(
+    "kg_mentions_by_class",
+    oracle=f"""
+    SELECT ent_type, count(*) AS n_mentions,
+           count(DISTINCT surface_norm) AS n_surfaces
+    FROM {_GOLD_M} GROUP BY ent_type
+    """,
+)
 def kg_mentions_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention stream vs the generator's gold mention record. Surfaces are
+    compared NORMALIZED (lowercase, collapsed whitespace): raw surfaces in
+    the text carry deliberate case flips and _spacenoise doubled spaces,
+    which the gold record (captured pre-noise) is invariant to only under
+    this normalization — and a near-dup-aware corpus profiler counts
+    normalized forms anyway."""
     _triples(spark, sf_dir)  # ensure cache populated
     m = _CACHE[(_session_key(spark), _scale_for(sf_dir), "mentions")]
+    surface_norm = F.trim(F.regexp_replace(F.lower("surface"), " +", " "))
     return m.groupBy("ent_type").agg(
         F.count(F.lit(1)).alias("n_mentions"),
-        F.countDistinct("surface").alias("n_surfaces"),
+        F.countDistinct(surface_norm).alias("n_surfaces"),
     )
 
 
@@ -164,7 +213,20 @@ def kg_span_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kg_eval_metrics")
+@register(
+    "kg_eval_metrics",
+    # the planted-gold replay of A16: with triples ≡ gold (kg_triples'
+    # oracle), the evaluator must report tp = |gold|, fp = fn = 0,
+    # P = R = 1.0 — this row hash-pins the north-rule bar itself
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS tp,
+           CAST(0 AS BIGINT) AS fp,
+           CAST(0 AS BIGINT) AS fn,
+           CAST(1.0 AS DOUBLE) AS "precision",
+           CAST(1.0 AS DOUBLE) AS "recall"
+    FROM {_GOLD_T}
+    """,
+)
 def kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgpipe.operators.evaluate import evaluate_triples
 

@@ -20,6 +20,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    # kg_* oracles embed the absolute sf0.01 fixture path (the driver's
+    # comparison scale); when replicating at another scale, rewrite the
+    # prefix to the matching fixture so gold and query see the same corpus
+    from kgpipe.fixtures.generator import materialize
+    from kgpipe.queries import kg as _kg
+
+    scale = _kg._scale_for(sf_dir)
+    if scale != "sf0.01" and _kg.ORACLE_FIXTURE_DIR in sql:
+        sql = sql.replace(_kg.ORACLE_FIXTURE_DIR, materialize(scale))
     con = duckdb.connect()
     for t in TABLES:
         paths = glob.glob(f"{sf_dir}/{t}.parquet")
