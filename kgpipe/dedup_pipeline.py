@@ -58,6 +58,10 @@ DEDUP_PARAMS = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
 # and two different transforms of the same documents.parquet must never
 # share stage tables. Bump when _neardup_corpus_spark changes shape.
 NEARDUP_CORPUS_TAG = "neardup-zzz-v1"
+# the plain shifted-copy dup corpus (_dup_corpus_spark) — the LSH query
+# family (minhash_lsh_pairs / ngram_jaccard_dups) shares sigs+pairs stage
+# tables under this tag. Bump when _dup_corpus_spark changes shape.
+DUP_CORPUS_TAG = "dup-shifted-v1"
 
 
 def stage_fingerprints(input_paths: list[str],
@@ -120,6 +124,47 @@ def shared_run_dir(input_paths: list[str],
     return os.path.join(root, fp)
 
 
+def locked_run_dir(spark: SparkSession, input_paths: list[str],
+                   fps: dict[str, str]):
+    """Context manager yielding the durable run_dir to checkpoint under:
+    the shared fingerprint-keyed dir with an exclusive non-blocking
+    ``flock`` held for the duration, or — when the shared root is unusable
+    (not ours) or another live process holds the lock — a private
+    applicationId-suffixed fallback (correct, just without cross-process
+    sharing). Factored out of queries/textops.py::dedup_pipeline so every
+    durable query family (near-dup keep-best, the LSH pairs family) uses
+    the identical locking discipline.
+
+    The lock is released on exit, BEFORE the caller consumes the returned
+    DataFrames — safe because committed stage tables are immutable under
+    an unchanged fingerprint; only a writer for a *changed* input would
+    rewrite them, into a different fingerprint-keyed dir."""
+    import contextlib
+    import fcntl
+    import os
+    import tempfile
+
+    @contextlib.contextmanager
+    def _cm():
+        private = os.path.join(
+            tempfile.gettempdir(),
+            f"kgpipe-dedup-private-{spark.sparkContext.applicationId}")
+        run_dir = shared_run_dir(input_paths, fp=fps["sigs"])
+        if run_dir is None:
+            yield private
+            return
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, ".lock"), "w") as lock:
+            try:
+                fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                yield private
+                return
+            yield run_dir
+
+    return _cm()
+
+
 def run_dedup_checkpointed(
     spark: SparkSession,
     corpus: DataFrame,
@@ -127,6 +172,7 @@ def run_dedup_checkpointed(
     run_dir: str,
     n_buckets: int = 16,
     fps: dict[str, str] | None = None,
+    through: str = "keep_best",
 ) -> dict[str, object]:
     """Run the near-dup pipeline over ``corpus`` (doc_id, text) with every
     stage checkpointed under ``run_dir``.
@@ -134,22 +180,31 @@ def run_dedup_checkpointed(
     ``input_paths``: the files ``corpus`` derives from — fingerprinting
     input; the corpus transform itself must be deterministic given those
     files (true for all fixture corpora here).
+
+    ``through``: last stage to run — ``'pairs'`` gives the LSH candidate
+    front half only (the minhash_lsh_pairs query family shares durable
+    sigs+pairs tables without paying CC + keep-best it never reads).
     """
     if fps is None:
         fps = stage_fingerprints(input_paths)
-    fp1, fp2, fp3, fp4 = (fps["sigs"], fps["pairs"], fps["members"],
-                          fps["keep_best"])
 
     run = CheckpointedRun(spark, run_dir)
+    out: dict[str, object] = {"metrics": run.metrics, "run": run}
     s1 = run.stage("sigs", corpus, minhash_sigs_over,
-                   key_col="doc_id", n_buckets=n_buckets, fingerprint=fp1)
-    s2 = run.stage("pairs", s1.df, lsh_pairs_from_sigs,
-                   n_buckets=1, fingerprint=fp2)
-    s3 = run.stage("members", s2.df, members_from_pairs,
-                   n_buckets=1, fingerprint=fp3)
-    s4 = run.stage("keep_best", s3.df,
-                   lambda m: keep_best_from_members(m, corpus),
-                   n_buckets=1, fingerprint=fp4)
+                   key_col="doc_id", n_buckets=n_buckets,
+                   fingerprint=fps["sigs"])
+    out["sigs"] = s1.df
+    if through != "sigs":
+        s2 = run.stage("pairs", s1.df, lsh_pairs_from_sigs,
+                       n_buckets=1, fingerprint=fps["pairs"])
+        out["pairs"] = s2.df
+    if through not in ("sigs", "pairs"):
+        s3 = run.stage("members", s2.df, members_from_pairs,
+                       n_buckets=1, fingerprint=fps["members"])
+        out["members"] = s3.df
+        s4 = run.stage("keep_best", s3.df,
+                       lambda m: keep_best_from_members(m, corpus),
+                       n_buckets=1, fingerprint=fps["keep_best"])
+        out["keep_best"] = s4.df
     run.write_metrics()
-    return {"sigs": s1.df, "pairs": s2.df, "members": s3.df,
-            "keep_best": s4.df, "metrics": run.metrics, "run": run}
+    return out

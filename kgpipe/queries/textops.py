@@ -441,8 +441,34 @@ def _lsh_cand_ctes(corpus_sql: str = _DUP_CORPUS_SQL) -> str:
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-capped LSH candidate pairs over the dup corpus, computed
+    through DURABLE fingerprint-keyed sigs+pairs stage tables (the same
+    A14 protocol dedup_pipeline uses, under its own corpus tag): the first
+    session pays the sigs scan + bucket join and commits both stages; every
+    fresh session over unchanged inputs reads the committed pairs table
+    back (~6x cheaper at sf0.1). Oracle unchanged — the durable path must
+    hash-match the same candidate CTE chain."""
     return _cached(spark, ("lsh_pairs", sf_dir),
-                   lambda: _lsh_pairs_over(_dup_corpus_spark(spark, sf_dir)))
+                   lambda: _durable_lsh_pairs(spark, sf_dir))
+
+
+def _durable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from kgpipe.dedup_pipeline import (
+        DUP_CORPUS_TAG,
+        locked_run_dir,
+        run_dedup_checkpointed,
+        stage_fingerprints,
+    )
+
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    fps = stage_fingerprints(paths, corpus=DUP_CORPUS_TAG)
+    with locked_run_dir(spark, paths, fps) as run_dir:
+        out = run_dedup_checkpointed(
+            spark, _dup_corpus_spark(spark, sf_dir), paths, run_dir,
+            fps=fps, through="pairs")
+    return out["pairs"]
 
 
 def _lsh_pairs_over(corpus: DataFrame) -> DataFrame:
@@ -881,22 +907,17 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest drives forced recompute by passing its own run_dir
     (tests/test_dedup_pipeline.py).
 
-    A shared fingerprint-keyed dir means two PROCESSES can now race on it
-    (the old applicationId key was per-process by construction), so the
-    dir lives under an ownership-verified mode-0700 per-user root and the
-    run holds an exclusive non-blocking ``flock``; a process that finds
-    the lock already held (or an unusable shared root) falls back to a
-    private applicationId-suffixed dir (correct, just without
-    cross-process sharing) instead of interleaving bucket writes with the
-    lock holder."""
-    import contextlib
-    import fcntl as _fcntl
+    A shared fingerprint-keyed dir means two PROCESSES can race on it (the
+    old applicationId key was per-process by construction), so the run
+    holds an exclusive non-blocking ``flock`` on the ownership-verified
+    dir, falling back to a private applicationId-suffixed dir when the
+    lock is held or the shared root unusable
+    (kgpipe.dedup_pipeline.locked_run_dir)."""
     import os as _os
-    import tempfile as _tf
 
     from kgpipe.dedup_pipeline import (
+        locked_run_dir,
         run_dedup_checkpointed,
-        shared_run_dir,
         stage_fingerprints,
     )
 
@@ -905,21 +926,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # come from the same stat pass or a concurrent input rewrite pairs an
     # old dir with new fingerprints
     fps = stage_fingerprints(input_paths)
-    run_dir = shared_run_dir(input_paths, fp=fps["sigs"])
-    private = _os.path.join(
-        _tf.gettempdir(),
-        f"kgpipe-dedup-private-{spark.sparkContext.applicationId}")
-    with contextlib.ExitStack() as stack:
-        if run_dir is None:
-            run_dir = private  # shared root unusable (not ours)
-        else:
-            _os.makedirs(run_dir, exist_ok=True)
-            lock = stack.enter_context(
-                open(_os.path.join(run_dir, ".lock"), "w"))
-            try:
-                _fcntl.flock(lock, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
-            except OSError:
-                run_dir = private  # another live process is mid-run
+    with locked_run_dir(spark, input_paths, fps) as run_dir:
         out = run_dedup_checkpointed(
             spark, _neardup_corpus_spark(spark, sf_dir),
             input_paths, run_dir, fps=fps)
