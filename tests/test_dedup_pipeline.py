@@ -248,3 +248,47 @@ def test_near_dup_keep_best_reuses_committed_members(
     monkeypatch.setattr(textops, "_lsh_pairs_over", boom)
     got = textops.near_dup_keep_best(spark, SF_DIR)
     assert _rows(got) == direct_keep_best
+
+
+def test_lsh_pairs_family_resumes_durable_stages(
+        spark, monkeypatch, tmp_path_factory):
+    """The dup-corpus LSH family (minhash_lsh_pairs via _durable_lsh_pairs)
+    shares durable sigs+pairs stage tables under its own corpus tag: a
+    second fresh-session run over unchanged inputs must recompute zero
+    buckets, rewrite no manifest, and stop at the pairs stage (no CC /
+    keep-best tables it never reads) — while matching the direct
+    in-memory candidate set."""
+    import kgpipe.dedup_pipeline as dp
+    from kgpipe.queries import textops
+
+    run_dir = str(tmp_path_factory.mktemp("lsh-share"))
+    monkeypatch.setattr(dp, "shared_run_dir",
+                        lambda paths, fp=None: run_dir)
+    paths = [os.path.join(SF_DIR, "documents.parquet")]
+
+    direct = _rows(textops._lsh_pairs_over(
+        textops._dup_corpus_spark(spark, SF_DIR)))
+    assert direct  # non-vacuous
+
+    first = _rows(textops._durable_lsh_pairs(spark, SF_DIR))
+    assert first == direct
+    # front half only: the family never pays CC + keep-best
+    assert {"pairs", "sigs"} <= set(os.listdir(run_dir))
+    for never in ("members", "keep_best"):
+        assert not os.path.exists(os.path.join(run_dir, never))
+    manifests = {
+        s: os.path.getmtime(os.path.join(run_dir, s, "manifest.jsonl"))
+        for s in ("sigs", "pairs")
+    }
+
+    second = _rows(textops._durable_lsh_pairs(spark, SF_DIR))
+    assert second == direct
+    for s, m in manifests.items():
+        assert os.path.getmtime(
+            os.path.join(run_dir, s, "manifest.jsonl")) == m, s
+
+    # the corpus tag keeps this family's fingerprints disjoint from the
+    # near-dup corpus family — shared tables across different corpus
+    # transforms would be silent wrong-answers
+    assert (dp.stage_fingerprints(paths, corpus=dp.DUP_CORPUS_TAG)["sigs"]
+            != dp.stage_fingerprints(paths)["sigs"])
