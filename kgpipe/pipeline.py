@@ -190,7 +190,7 @@ def run_pipeline_checkpointed(
     cc_algo: str = "two_phase",
     predicates=None,
     labeler_model=None,
-    stage_layout: str = "linked",
+    stage_layout: str = "digests",
 ) -> dict[str, object]:
     """A14 resumable run: conv_id-bucketed stages with per-bucket lineage
     manifests (operators/checkpoint.py). Re-invoking with the same
@@ -199,13 +199,14 @@ def run_pipeline_checkpointed(
 
     Two durable-stage layouts, both conv_id-bucket-resumable:
 
-    * ``stage_layout="linked"`` (default): stages the EXPLODED ``linked``
+    * ``stage_layout="linked"``: stages the EXPLODED ``linked``
       intermediate — the durable cut between labeling and extraction makes
       the expensive Arrow-UDF labeling stage independently resumable, and
       the staged table doubles as the mentions product. The cost is that
       the staged rows carry the full turn text (the wide form the fused
       product plan eliminated).
-    * ``stage_layout="digests"``: stages the FUSED per-turn digests
+    * ``stage_layout="digests"`` (default — the product economics): stages
+      the FUSED per-turn digests
       (operators/relations.py turn_digests, labeling inlined) — the
       durable tables are the ~50-byte narrow rows, so the resumable path
       keeps the single-shuffle product economics end to end: stage 1 is

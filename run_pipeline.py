@@ -39,12 +39,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="A14 resumable mode: per-bucket lineage manifests under "
                          "this dir; re-running with the same dir resumes from "
                          "the last committed bucket")
-    ap.add_argument("--stage-layout", default="linked",
+    ap.add_argument("--stage-layout", default="digests",
                     choices=["linked", "digests"],
-                    help="checkpointed stage layout: 'linked' stages the "
-                         "exploded text-bearing mentions table; 'digests' "
-                         "stages the narrow fused per-turn digests (the "
-                         "single-shuffle product economics, resumable)")
+                    help="checkpointed stage layout: 'digests' (default) "
+                         "stages the narrow fused per-turn digests — the "
+                         "single-shuffle product economics, resumable "
+                         "(9.3s vs 14.3s cold at sf0.1; auto-falls-back to "
+                         "'linked' when the dictionary exceeds the "
+                         "broadcast bound); 'linked' stages the exploded "
+                         "text-bearing mentions table for when that table "
+                         "is itself the product")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     metavar="K",
                     help="after committing, expire all but the newest K "

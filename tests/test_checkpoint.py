@@ -30,7 +30,8 @@ def plain_triples(spark, fixture_dir):
 
 def test_checkpointed_equals_plain(spark, fixture_dir, plain_triples, tmp_path_factory):
     run_dir = str(tmp_path_factory.mktemp("ckpt-full"))
-    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                                    stage_layout="linked")
     assert _triple_set(out["triples"]) == plain_triples
     # lineage manifests exist per stage with per-bucket rows
     for stage in ("linked", "raw_triples", "triples"):
@@ -57,7 +58,8 @@ def test_crash_mid_stage_resumes_only_missing(spark, fixture_dir, plain_triples,
     last 10 manifest rows (data dirs stay on disk, as after a real kill).
     Resume must recompute exactly those buckets and produce equal triples."""
     run_dir = str(tmp_path_factory.mktemp("ckpt-crash"))
-    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                              stage_layout="linked")
 
     mpath = os.path.join(run_dir, "linked", "manifest.jsonl")
     rows = [json.loads(line) for line in open(mpath)]
@@ -70,7 +72,8 @@ def test_crash_mid_stage_resumes_only_missing(spark, fixture_dir, plain_triples,
     shutil.rmtree(os.path.join(run_dir, "raw_triples"))
     shutil.rmtree(os.path.join(run_dir, "triples"))
 
-    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                                    stage_layout="linked")
     m = out["metrics"]["linked"]
     assert m["buckets_computed"] == len(dropped)
     assert m["buckets_skipped"] == 32 - len(dropped)
@@ -83,7 +86,8 @@ def test_changed_input_invalidates(spark, fixture_dir, tmp_path_factory, tmp_pat
     import shutil
 
     run_dir = str(tmp_path_factory.mktemp("ckpt-inval"))
-    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                              stage_layout="linked")
 
     # shrink the input: copy fixture, truncate transcripts to 40 convs
     alt = tmp_path / "alt_fixture"
@@ -95,7 +99,8 @@ def test_changed_input_invalidates(spark, fixture_dir, tmp_path_factory, tmp_pat
         os.path.join(alt, "transcripts.parquet"), index=False,
         coerce_timestamps="us", allow_truncated_timestamps=True)
 
-    out = run_pipeline_checkpointed(spark, str(alt), run_dir)
+    out = run_pipeline_checkpointed(spark, str(alt), run_dir,
+                                    stage_layout="linked")
     got = out["triples"].select("conv_id").distinct().collect()
     assert {r.conv_id for r in got} <= set(keep)
     m = out["metrics"]["linked"]
@@ -144,14 +149,16 @@ def test_checkpointed_trained_labeler_and_model_invalidation(
         cd)
     run_dir = str(tmp_path_factory.mktemp("ckpt-trained"))
     out = run_pipeline_checkpointed(
-        spark, fixture_dir, run_dir, labeler_model=model)
+        spark, fixture_dir, run_dir, labeler_model=model,
+        stage_layout="linked")
     gold = spark.read.parquet(
         os.path.join(fixture_dir, "gold_triples.parquet"))
     m = evaluate_triples(out["triples"], gold)
     assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
     # switching to the gazetteer labeler must NOT reuse the trained-model
     # checkpoint: the linked stage recomputes under a different fingerprint
-    out2 = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    out2 = run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                                     stage_layout="linked")
     assert out2["run"].metrics["linked"]["buckets_computed"] > 0
 
 
@@ -164,10 +171,12 @@ def test_lost_checkpoint_data_fails_loudly(spark, fixture_dir,
     import pytest as _pytest
 
     run_dir = str(tmp_path_factory.mktemp("ckpt-lost"))
-    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                              stage_layout="linked")
     shutil.rmtree(os.path.join(run_dir, "linked", "data"))
     with _pytest.raises(RuntimeError, match="deleted or modified"):
-        run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+        run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                                  stage_layout="linked")
 
 
 def test_single_lost_bucket_fails_loudly(spark, fixture_dir,
@@ -181,13 +190,15 @@ def test_single_lost_bucket_fails_loudly(spark, fixture_dir,
     import pytest as _pytest
 
     run_dir = str(tmp_path_factory.mktemp("ckpt-lost-bucket"))
-    run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                              stage_layout="linked")
     bdirs = sorted(glob.glob(
         os.path.join(run_dir, "linked", "data", "_ckpt_bucket=*")))
     assert len(bdirs) > 1
     shutil.rmtree(bdirs[0])
     with _pytest.raises(RuntimeError, match="deleted or modified"):
-        run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+        run_pipeline_checkpointed(spark, fixture_dir, run_dir,
+                                  stage_layout="linked")
 
 
 def test_missing_schema_on_all_empty_stage_is_clear_error(
@@ -270,3 +281,24 @@ def test_digest_layout_resume_skips_everything(spark, fixture_dir,
     for stage, m in out2["metrics"].items():
         assert m["buckets_computed"] == 0, (stage, m)
     assert _triple_set(out2["triples"]) == plain_triples
+
+
+def test_default_layout_is_digests(spark, fixture_dir, plain_triples,
+                                   tmp_path_factory):
+    """The product default follows the product economics: calling
+    run_pipeline_checkpointed (and the CLI) without --stage-layout stages
+    the narrow digests, not the text-bearing linked table."""
+    import inspect
+
+    run_dir = str(tmp_path_factory.mktemp("ckpt-default"))
+    out = run_pipeline_checkpointed(spark, fixture_dir, run_dir)
+    assert _triple_set(out["triples"]) == plain_triples
+    assert os.path.exists(os.path.join(run_dir, "digests", "manifest.jsonl"))
+    assert not os.path.exists(os.path.join(run_dir, "linked"))
+
+    # the library default and the CLI default must agree
+    sig = inspect.signature(run_pipeline_checkpointed)
+    assert sig.parameters["stage_layout"].default == "digests"
+    import run_pipeline as cli
+    cli_src = inspect.getsource(cli.main)
+    assert '"--stage-layout", default="digests"' in cli_src
