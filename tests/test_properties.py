@@ -111,3 +111,89 @@ def test_labeler_span_invariants(texts):
             assert b == len(text) or text[b] == " "
             assert a >= prev_end, "overlapping spans"
             prev_end = b
+
+
+# --- fused == exploded on random adversarial corpora ------------------------
+# The fused digest path is THE plan-gated hot path; the hand-built edge
+# corpus (tests/test_relations_fused.py) pins known-tricky cases, this gate
+# draws random span layouts — empty turns, adjacent spans, unlinked aliases
+# between linked ones, predicate-phrase prefixes, turn-index gaps beyond the
+# window — so future digest edits can't silently diverge from the exploded
+# reference plan on a shape nobody hand-built.
+
+_ALIASES = {"alice": ("E_alice", "PER"), "bob": ("E_bob", "PER"),
+            "acme": ("E_acme", "ORG"), "widgetco": ("E_widget", "ORG")}
+_UNLINKED = ["zzz", "qqq"]  # labeled spans, absent from the dictionary
+_PREDS = {"works at": "works_at", "visited": "visited", "then": "then"}
+_NOISE = ["lorem", "ipsum", "the"]
+
+_item = st.one_of(
+    st.sampled_from([("ent", a) for a in sorted(_ALIASES)]),
+    st.sampled_from([("unl", w) for w in _UNLINKED]),
+    st.sampled_from([("pred", p) for p in sorted(_PREDS)]),
+    st.sampled_from([("noise", w) for w in _NOISE]),
+)
+
+
+@st.composite
+def _random_corpus(draw):
+    """(transcript_rows, span_rows): random turns with hand-placed spans."""
+    t_rows, s_rows = [], []
+    for ci in range(draw(st.integers(1, 3))):
+        conv = f"pc{ci}"
+        turn_idx = 0
+        for _ in range(draw(st.integers(1, 6))):
+            turn_idx += draw(st.integers(1, 5))  # gaps can exceed window=3
+            items = draw(st.lists(_item, max_size=5))
+            words, spans, pos = [], [], 0
+            for kind, w in items:
+                if kind in ("ent", "unl"):
+                    ty = _ALIASES[w][1] if kind == "ent" else "MISC"
+                    spans.append((pos, pos + len(w), ty, 1.0))
+                words.append(w)
+                pos += len(w) + 1
+            t_rows.append((conv, turn_idx, "user", " ".join(words),
+                           None, None))
+            s_rows.append((conv, turn_idx,
+                           [{"start": a, "end": b, "ent_type": ty,
+                             "score": sc} for a, b, ty, sc in spans]))
+    return t_rows, s_rows
+
+
+@settings(max_examples=12, deadline=None)
+@given(_random_corpus())
+def test_fused_equals_exploded_on_random_corpora(spark, corpus):
+    from kgpipe.operators.linker import dict_to_df, link_entities, top1_dict
+    from kgpipe.operators.mentions import extract_mentions
+    from kgpipe.operators.relations import (
+        extract_triples,
+        extract_triples_fused,
+    )
+    from kgpipe.schemas import TRANSCRIPTS
+
+    t_rows, s_rows = corpus
+    t = spark.createDataFrame(t_rows, schema=TRANSCRIPTS)
+    sp = spark.createDataFrame(
+        s_rows,
+        schema="conv_id string, turn_idx int, spans array<struct<"
+               "start:int,end:int,ent_type:string,score:float>>")
+    labeled = t.join(sp, ["conv_id", "turn_idx"])
+    cd = pd.DataFrame({
+        "alias": sorted(_ALIASES),
+        "entity_id": [_ALIASES[a][0] for a in sorted(_ALIASES)],
+        "prior": [1.0] * len(_ALIASES),
+        "ent_class": [_ALIASES[a][1] for a in sorted(_ALIASES)],
+    })
+
+    def tset(df):
+        return {tuple(r) for r in df.select(
+            "subj", "pred", "obj", "conv_id", "turn_idx", "conf").collect()}
+
+    linked = link_entities(extract_mentions(labeled),
+                           dict_to_df(spark, top1_dict(cd)),
+                           k=1, ranked=False)
+    ref = tset(extract_triples(spark, linked, window=3, chunk=None,
+                               predicates=_PREDS))
+    got = tset(extract_triples_fused(spark, labeled, cd, window=3,
+                                     chunk=None, predicates=_PREDS))
+    assert got == ref
