@@ -38,8 +38,38 @@ def entity_surfaces(dict_df: DataFrame) -> DataFrame:
     )
 
 
-def similarity_edges(surfaces: DataFrame, max_lev: int = 2) -> DataFrame:
-    """Candidate duplicate pairs (a < b) via blocked Levenshtein join."""
+# All-pairs candidate generation runs only inside blocks up to this size;
+# bigger blocks (an adversarial shared-prefix dictionary puts millions of
+# surfaces behind one first token) switch to a sorted-neighborhood rank
+# band, bounding per-block candidates at O(b*W) instead of O(b^2). W trades
+# recall for work: true lev<=2 duplicates share long prefixes and sort
+# adjacently, so a small band recovers them; pairs > W ranks apart inside
+# an over-cap block are the one disclosed recall bound of this operator.
+CANON_BLOCK_CAP = 1024
+CANON_SORT_WINDOW = 8
+
+
+def similarity_edges(surfaces: DataFrame, max_lev: int = 2,
+                     block_cap: int = CANON_BLOCK_CAP,
+                     sort_window: int = CANON_SORT_WINDOW) -> DataFrame:
+    """Candidate duplicate pairs (src < dst) via blocked Levenshtein join.
+
+    Two-tier blocking keeps the worst block bounded at any scale:
+
+    * blocks (ent_class, first token) with <= ``block_cap`` members get the
+      exact all-pairs equi-join (quadratic only within the cap);
+    * bigger blocks get the sorted-neighborhood method (Hernandez & Stolfo,
+      SIGMOD'95): rank members by surface inside the block and pair only
+      rows <= ``sort_window`` ranks apart — candidates are O(b*W) and the
+      band join is a plain equi-join on (block, rank+k), so Catalyst
+      shuffle-partitions it like any other key. The per-block rank itself
+      is one window sort over b NARROW rows (bounded task = O(b log b)
+      time, O(b) rows — the b^2 join blow-up is what the cap removes; a
+      block too big even to sort in one task would need salted range
+      ranks, which the dictionary sizes this engine targets don't reach).
+
+    ``block_cap=None`` disables capping (the exact reference used by the
+    equality gate on small dictionaries)."""
     s = surfaces.select(
         "entity_id",
         "surface",
@@ -47,22 +77,109 @@ def similarity_edges(surfaces: DataFrame, max_lev: int = 2) -> DataFrame:
         F.split(F.col("surface"), " ").getItem(0).alias("block_tok"),
         F.length("surface").alias("slen"),
     )
-    a = s.alias("a")
-    b = s.alias("b")
-    return (
-        a.join(
+
+    def finish(pairs: DataFrame) -> DataFrame:
+        # cheap length filter before the quadratic edit distance
+        return (
+            pairs.filter(F.abs(F.col("a_slen") - F.col("b_slen")) <= max_lev)
+            .filter(F.levenshtein(F.col("a_surface"),
+                                  F.col("b_surface")) <= max_lev)
+            .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        )
+
+    def allpairs(src: DataFrame) -> DataFrame:
+        a = src.alias("a")
+        b = src.alias("b")
+        return a.join(
             b,
             (F.col("a.ent_class") == F.col("b.ent_class"))
             & (F.col("a.block_tok") == F.col("b.block_tok"))
             & (F.col("a.entity_id") < F.col("b.entity_id")),
             "inner",
+        ).select(
+            F.col("a.entity_id").alias("a_id"),
+            F.col("b.entity_id").alias("b_id"),
+            F.col("a.surface").alias("a_surface"),
+            F.col("b.surface").alias("b_surface"),
+            F.col("a.slen").alias("a_slen"),
+            F.col("b.slen").alias("b_slen"),
         )
-        # cheap length filter before the quadratic edit distance
-        .filter(F.abs(F.col("a.slen") - F.col("b.slen")) <= max_lev)
-        .filter(F.levenshtein(F.col("a.surface"), F.col("b.surface")) <= max_lev)
-        .select(F.col("a.entity_id").alias("src"),
-                F.col("b.entity_id").alias("dst"))
+
+    if block_cap is None:
+        return finish(allpairs(s))
+
+    # block sizing via groupBy (map-side combine to one row per block) +
+    # broadcast join back — NOT a count-over-window, which would shuffle
+    # every surface row into size-skewed window partitions just to learn
+    # its block size. #blocks ~ first-token vocabulary: broadcastable far
+    # beyond dictionary scales that themselves stopped being broadcastable.
+    sizes = s.groupBy("ent_class", "block_tok").agg(
+        F.count(F.lit(1)).alias("bsz"))
+    sized = s.join(F.broadcast(sizes), ["ent_class", "block_tok"])
+    small = sized.filter(F.col("bsz") <= block_cap).drop("bsz")
+
+    big = sized.filter(F.col("bsz") > block_cap).drop("bsz")
+    # global per-block rank WITHOUT a per-block window (an over-cap block
+    # is by definition too big for a single window partition): sub-bucket
+    # on an order-consistent sort-key prefix (string prefix order agrees
+    # with full-string order), row_number inside the small sub-buckets,
+    # then add each sub-bucket's cumulative offset — computed on the TINY
+    # (block, sub-bucket) count table. Rank values are identical to a
+    # single global window; only the partitioning is bounded. The one
+    # adversarial residue: surfaces sharing the whole prefix beyond the
+    # first token collapse into one sub-bucket again (a longer prefix
+    # bounds it further at the cost of a bigger count table).
+    sub = big.withColumn(
+        "rb", F.expr("substring(surface, length(block_tok) + 2, 4)"))
+    counts = sub.groupBy("ent_class", "block_tok", "rb").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.partitionBy("ent_class", "block_tok").orderBy("rb")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).drop("cnt")
+    subw = Window.partitionBy("ent_class", "block_tok", "rb").orderBy(
+        "surface", "entity_id")
+    ranked = (
+        sub.withColumn("r_in", F.row_number().over(subw))
+        .join(offs, ["ent_class", "block_tok", "rb"])
+        .withColumn("rnk", (F.col("r_in") + F.col("off")).cast("int"))
+        .drop("rb", "r_in", "off")
     )
+    probe = ranked.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(sort_window)))
+    ).withColumn("rnk_b", F.col("rnk") + F.col("k"))
+    r = ranked.select(
+        F.col("ent_class").alias("r_class"),
+        F.col("block_tok").alias("r_tok"),
+        F.col("rnk").alias("rnk_b"),
+        F.col("entity_id").alias("r_id"),
+        F.col("surface").alias("r_surface"),
+        F.col("slen").alias("r_slen"),
+    )
+    band = probe.join(
+        r,
+        (F.col("ent_class") == F.col("r_class"))
+        & (F.col("block_tok") == F.col("r_tok"))
+        & (probe["rnk_b"] == r["rnk_b"]),
+        "inner",
+    ).select(
+        F.least("entity_id", "r_id").alias("a_id"),
+        F.greatest("entity_id", "r_id").alias("b_id"),
+        F.when(F.col("entity_id") <= F.col("r_id"),
+               F.col("surface")).otherwise(F.col("r_surface"))
+        .alias("a_surface"),
+        F.when(F.col("entity_id") <= F.col("r_id"),
+               F.col("r_surface")).otherwise(F.col("surface"))
+        .alias("b_surface"),
+        F.when(F.col("entity_id") <= F.col("r_id"),
+               F.col("slen")).otherwise(F.col("r_slen")).alias("a_slen"),
+        F.when(F.col("entity_id") <= F.col("r_id"),
+               F.col("r_slen")).otherwise(F.col("slen")).alias("b_slen"),
+    )
+    return finish(allpairs(small)).unionByName(finish(band))
 
 
 def _edges_fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -157,8 +274,13 @@ def _cc_minprop(edges: DataFrame, max_iter: int) -> DataFrame:
 
 
 def build_canon_map(dict_df: DataFrame, algo: str = "two_phase") -> DataFrame:
-    """candidate dictionary -> (entity_id, canonical_id) for merged ids."""
-    edges = similarity_edges(entity_surfaces(dict_df))
+    """candidate dictionary -> (entity_id, canonical_id) for merged ids.
+
+    Surfaces are localCheckpointed: the two-tier similarity join reads them
+    from three branches (block sizes, small-block all-pairs, big-block
+    band), and without a materialization each branch would recompute the
+    entity_surfaces aggregation from the raw dictionary."""
+    edges = similarity_edges(entity_surfaces(dict_df).localCheckpoint())
     return connected_components(edges, algo=algo)
 
 

@@ -64,3 +64,61 @@ def test_local_equals_distributed(spark):
     local = set(map(tuple, build_canon_map_local(cd).itertuples(index=False)))
     assert local == dist
     assert local, "fixture must exercise at least one merged variant"
+
+
+def test_similarity_block_cap_bounds_adversarial_block(spark):
+    """Shared-prefix adversarial dictionary: one (class, first-token) block
+    whose EVERY pair is a true lev<=2 duplicate. Uncapped all-pairs is
+    provably quadratic (b(b-1)/2 edges); the capped operator must bound
+    candidates at O(b*W) via the sorted-neighborhood band while the
+    rank-adjacent edge chain still connects the block into ONE cluster —
+    same clustering, bounded work."""
+    import itertools
+    import string
+
+    import pandas as pd
+
+    from kgpipe.operators.canon import (
+        connected_components,
+        entity_surfaces,
+        similarity_edges,
+    )
+    from kgpipe.operators.linker import dict_to_df
+
+    surfs = [f"megacorp unit {a}{b}"
+             for a, b in itertools.product(string.ascii_lowercase, repeat=2)]
+    b = len(surfs)  # 676 > cap
+    cd = pd.DataFrame({
+        "alias": surfs,
+        "entity_id": [f"E{i:04d}" for i in range(b)],
+        "prior": [1.0] * b,
+        "ent_class": ["ORG"] * b,
+    })
+    surfaces = entity_surfaces(dict_to_df(spark, cd)).cache()
+
+    capped = similarity_edges(surfaces, block_cap=256, sort_window=8)
+    n_capped = capped.count()
+    assert 0 < n_capped <= b * 8  # the bound the 100-TB path lives on
+
+    # the chain of rank-adjacent edges keeps the cluster CONNECTED: CC over
+    # the banded edges merges the whole block exactly like the exact join
+    cc = connected_components(capped)
+    assert cc.count() == b - 1
+    assert cc.select("canonical_id").distinct().count() == 1
+
+    # reference: the uncapped join on this block really is quadratic
+    exact = similarity_edges(surfaces, block_cap=None)
+    assert exact.count() == b * (b - 1) // 2
+
+    # and on a dictionary with no over-cap block, capped == uncapped exactly
+    small = pd.DataFrame({
+        "alias": ["acme corp", "acme corpp", "acme inc", "zeta llc"],
+        "entity_id": ["E_a", "E_b", "E_c", "E_d"],
+        "prior": [1.0] * 4,
+        "ent_class": ["ORG"] * 4,
+    })
+    ssurf = entity_surfaces(dict_to_df(spark, small))
+    got = {tuple(r) for r in similarity_edges(ssurf).collect()}
+    ref = {tuple(r) for r in
+           similarity_edges(ssurf, block_cap=None).collect()}
+    assert got == ref and got
