@@ -126,7 +126,8 @@ def main() -> int:
     for fam, tag, stages in (
             ("neardup_family", None, ("sigs", "pairs", "members",
                                       "keep_best")),
-            ("lsh_pairs_family", DUP_CORPUS_TAG, ("sigs", "pairs"))):
+            ("lsh_pairs_family", DUP_CORPUS_TAG,
+             ("sigs", "pairs", "jaccard"))):
         fps = (stage_fingerprints(docs) if tag is None
                else stage_fingerprints(docs, corpus=tag))
         rd = shared_run_dir(docs, fp=fps["sigs"])

@@ -74,7 +74,11 @@ def stage_fingerprints(input_paths: list[str],
     fp2 = hashlib.sha256(f"{fp1}|pairs|v=1".encode()).hexdigest()[:16]
     fp3 = hashlib.sha256(f"{fp2}|members|v=1".encode()).hexdigest()[:16]
     fp4 = hashlib.sha256(f"{fp3}|keep_best|v=1".encode()).hexdigest()[:16]
-    return {"sigs": fp1, "pairs": fp2, "members": fp3, "keep_best": fp4}
+    # exact-Jaccard verification branches off the pairs stage (it does not
+    # feed CC), so its fingerprint chains from fp2, not fp4
+    fpj = hashlib.sha256(f"{fp2}|jaccard|v=1".encode()).hexdigest()[:16]
+    return {"sigs": fp1, "pairs": fp2, "members": fp3, "keep_best": fp4,
+            "jaccard": fpj}
 
 
 def shared_run_dir(input_paths: list[str],

@@ -560,19 +560,32 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard verification of the LSH candidate pairs — the second
     stage of the real near-dup pipeline (LSH proposes, Jaccard disposes).
     Round 1 joined on the synthetic ``doc_id + 1000000`` pairing, which
-    verified only the planted duplicates; consuming ``minhash_lsh_pairs``
-    output makes this a generic operator: any candidate source works.
-    """
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    verified only the planted duplicates; consuming the LSH pairs stage
+    makes this a generic operator: any candidate source works.
+
+    Durable: the verified pairs are the ``jaccard`` stage of the
+    dup-corpus family's committed run (branching off ``pairs``, chained
+    fingerprint) — fresh sessions over unchanged inputs read the table
+    back instead of re-scanning the corpus for shingles."""
+    return _cached(spark, ("jaccard_dups", sf_dir),
+                   lambda: _durable_jaccard_dups(spark, sf_dir))
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
-    # cached: both join sides below AND any other consumer reuse ONE
-    # materialized shingle table instead of re-deriving it from text
-    sh = _cached(
+    # cached: both join sides AND any other consumer reuse ONE materialized
+    # shingle table instead of re-deriving it from text
+    return _cached(
         spark, ("shingles", sf_dir),
         lambda: _dup_corpus_spark(spark, sf_dir)
         .filter(F.size(toks) >= 3)
         .select("doc_id", F.array_distinct(_shingles_spark(toks)).alias("s")),
     )
+
+
+def jaccard_from_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates + (doc_id, s) shingle sets -> pairs with
+    exact n-gram Jaccard >= 0.5."""
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
@@ -588,6 +601,32 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def _durable_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from kgpipe.dedup_pipeline import (
+        DUP_CORPUS_TAG,
+        locked_run_dir,
+        run_dedup_checkpointed,
+        stage_fingerprints,
+    )
+
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    fps = stage_fingerprints(paths, corpus=DUP_CORPUS_TAG)
+    with locked_run_dir(spark, paths, fps) as run_dir:
+        out = run_dedup_checkpointed(
+            spark, _dup_corpus_spark(spark, sf_dir), paths, run_dir,
+            fps=fps, through="pairs")
+        run = out["run"]
+        s = run.stage(
+            "jaccard", out["pairs"].select("doc_a", "doc_b"),
+            lambda cand: jaccard_from_pairs(cand,
+                                            _shingle_table(spark, sf_dir)),
+            n_buckets=1, fingerprint=fps["jaccard"])
+        run.write_metrics()
+    return s.df
 
 
 # --------------------------------------------------------------------------

@@ -292,3 +292,32 @@ def test_lsh_pairs_family_resumes_durable_stages(
     # transforms would be silent wrong-answers
     assert (dp.stage_fingerprints(paths, corpus=dp.DUP_CORPUS_TAG)["sigs"]
             != dp.stage_fingerprints(paths)["sigs"])
+
+
+def test_jaccard_stage_resumes_durable(spark, monkeypatch,
+                                       tmp_path_factory):
+    """ngram_jaccard_dups' exact-Jaccard verification is the durable
+    'jaccard' stage branching off the committed pairs table: a second
+    fresh-session run rewrites no manifest and matches the direct
+    computation."""
+    import kgpipe.dedup_pipeline as dp
+    from kgpipe.queries import textops
+
+    run_dir = str(tmp_path_factory.mktemp("jac-share"))
+    monkeypatch.setattr(dp, "shared_run_dir",
+                        lambda paths, fp=None: run_dir)
+
+    direct = _rows(textops.jaccard_from_pairs(
+        textops._lsh_pairs_over(
+            textops._dup_corpus_spark(spark, SF_DIR))
+        .select("doc_a", "doc_b"),
+        textops._shingle_table(spark, SF_DIR)))
+    assert direct  # non-vacuous
+
+    first = _rows(textops._durable_jaccard_dups(spark, SF_DIR))
+    assert first == direct
+    mpath = os.path.join(run_dir, "jaccard", "manifest.jsonl")
+    m = os.path.getmtime(mpath)
+    second = _rows(textops._durable_jaccard_dups(spark, SF_DIR))
+    assert second == direct
+    assert os.path.getmtime(mpath) == m
