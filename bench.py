@@ -117,6 +117,7 @@ def main() -> int:
     # dedup_pipeline 10.8 s vs 0.5 s; lsh pairs ~6 s vs ~1 s in-session).
     from kgpipe.dedup_pipeline import (
         DUP_CORPUS_TAG,
+        run_dir_fp,
         shared_run_dir,
         stage_fingerprints,
     )
@@ -130,7 +131,7 @@ def main() -> int:
              ("sigs", "pairs", "jaccard"))):
         fps = (stage_fingerprints(docs) if tag is None
                else stage_fingerprints(docs, corpus=tag))
-        rd = shared_run_dir(docs, fp=fps["sigs"])
+        rd = shared_run_dir(docs, fp=run_dir_fp(fps))
         found = [] if rd is None else [
             s for s in stages
             if os.path.exists(os.path.join(rd, s, "manifest.jsonl"))]

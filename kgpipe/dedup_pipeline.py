@@ -81,6 +81,18 @@ def stage_fingerprints(input_paths: list[str],
             "jaccard": fpj}
 
 
+def run_dir_fp(fps: dict[str, str]) -> str:
+    """The durable run_dir key: a hash over the WHOLE fingerprint chain,
+    not just fps['sigs'] — a version bump to any downstream stage (e.g.
+    '|pairs|v=2') must move the run to a NEW directory, otherwise a
+    new-version writer would wipe+rewrite stage tables in a dir an
+    old-version reader may still be lazily consuming after lock release
+    (the immutability argument in locked_run_dir holds only if dir key
+    and every stage fingerprint move together)."""
+    joined = "|".join(f"{k}={fps[k]}" for k in sorted(fps))
+    return hashlib.sha256(joined.encode()).hexdigest()[:16]
+
+
 def shared_run_dir(input_paths: list[str],
                    fp: str | None = None) -> str | None:
     """The per-user, input-fingerprint-keyed durable run_dir: fresh
@@ -88,9 +100,10 @@ def shared_run_dir(input_paths: list[str],
     (queries/textops.py::dedup_pipeline holds the flock that serializes
     concurrent writers on it).
 
-    ``fp``: pass ``stage_fingerprints(...)['sigs']`` when already computed
-    — re-stat'ing the inputs here would both duplicate I/O and open a
-    TOCTOU window where the dir and the probe fingerprint disagree.
+    ``fp``: pass ``run_dir_fp(stage_fingerprints(...))`` when already
+    computed — re-stat'ing the inputs here would both duplicate I/O and
+    open a TOCTOU window where the dir and the probe fingerprint
+    disagree. The key covers the WHOLE chain (see run_dir_fp).
 
     The shared dirs live under a mode-0700 per-user ROOT whose ownership
     is verified: on a multi-user host, world-writable /tmp would let
@@ -109,7 +122,7 @@ def shared_run_dir(input_paths: list[str],
     import tempfile
 
     if fp is None:
-        fp = stage_fingerprints(input_paths)["sigs"]
+        fp = run_dir_fp(stage_fingerprints(input_paths))
     root = os.path.join(tempfile.gettempdir(),
                         f"kgpipe-dedup-{getpass.getuser()}")
     try:
@@ -150,10 +163,15 @@ def locked_run_dir(spark: SparkSession, input_paths: list[str],
 
     @contextlib.contextmanager
     def _cm():
+        # the private fallback is ALSO fingerprint-suffixed: one session
+        # runs several durable families (neardup, LSH pairs) plus several
+        # scales, and a single appId-keyed dir would make them wipe each
+        # other's stages on every fingerprint mismatch
         private = os.path.join(
             tempfile.gettempdir(),
-            f"kgpipe-dedup-private-{spark.sparkContext.applicationId}")
-        run_dir = shared_run_dir(input_paths, fp=fps["sigs"])
+            f"kgpipe-dedup-private-{spark.sparkContext.applicationId}"
+            f"-{run_dir_fp(fps)}")
+        run_dir = shared_run_dir(input_paths, fp=run_dir_fp(fps))
         if run_dir is None:
             yield private
             return
@@ -185,10 +203,16 @@ def run_dedup_checkpointed(
     input; the corpus transform itself must be deterministic given those
     files (true for all fixture corpora here).
 
-    ``through``: last stage to run — ``'pairs'`` gives the LSH candidate
+    ``through``: last stage to run AND durably commit — one of 'sigs',
+    'pairs', 'members', 'keep_best' (validated: a typo must not silently
+    run and commit the whole pipeline). 'pairs' gives the LSH candidate
     front half only (the minhash_lsh_pairs query family shares durable
     sigs+pairs tables without paying CC + keep-best it never reads).
     """
+    order = ("sigs", "pairs", "members", "keep_best")
+    if through not in order:
+        raise ValueError(f"through={through!r}; expected one of {order}")
+    last = order.index(through)
     if fps is None:
         fps = stage_fingerprints(input_paths)
 
@@ -198,14 +222,15 @@ def run_dedup_checkpointed(
                    key_col="doc_id", n_buckets=n_buckets,
                    fingerprint=fps["sigs"])
     out["sigs"] = s1.df
-    if through != "sigs":
+    if last >= 1:
         s2 = run.stage("pairs", s1.df, lsh_pairs_from_sigs,
                        n_buckets=1, fingerprint=fps["pairs"])
         out["pairs"] = s2.df
-    if through not in ("sigs", "pairs"):
+    if last >= 2:
         s3 = run.stage("members", s2.df, members_from_pairs,
                        n_buckets=1, fingerprint=fps["members"])
         out["members"] = s3.df
+    if last >= 3:
         s4 = run.stage("keep_best", s3.df,
                        lambda m: keep_best_from_members(m, corpus),
                        n_buckets=1, fingerprint=fps["keep_best"])

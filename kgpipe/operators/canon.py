@@ -126,11 +126,14 @@ def similarity_edges(surfaces: DataFrame, max_lev: int = 2,
     # then add each sub-bucket's cumulative offset — computed on the TINY
     # (block, sub-bucket) count table. Rank values are identical to a
     # single global window; only the partitioning is bounded. The one
-    # adversarial residue: surfaces sharing the whole prefix beyond the
-    # first token collapse into one sub-bucket again (a longer prefix
-    # bounds it further at the cost of a bigger count table).
+    # adversarial residue: surfaces sharing the whole 12-char prefix
+    # beyond the first token collapse into one sub-bucket again (the
+    # count table grows with prefix length — 12 keeps it at one row per
+    # distinct prefix, still tiny relative to the surfaces themselves,
+    # while a block would need to share token + 12 further chars across
+    # millions of members to degenerate).
     sub = big.withColumn(
-        "rb", F.expr("substring(surface, length(block_tok) + 2, 4)"))
+        "rb", F.expr("substring(surface, length(block_tok) + 2, 12)"))
     counts = sub.groupBy("ent_class", "block_tok", "rb").agg(
         F.count(F.lit(1)).alias("cnt"))
     offs = counts.withColumn(

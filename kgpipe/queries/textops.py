@@ -452,7 +452,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lambda: _durable_lsh_pairs(spark, sf_dir))
 
 
-def _durable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _durable_dup_family(spark: SparkSession, sf_dir: str,
+                        want: str) -> DataFrame:
+    """The dup-corpus family's durable run under ONE locking/fingerprint
+    discipline: commit (or resume) sigs+pairs, plus the jaccard branch
+    when asked. ``want``: 'pairs' or 'jaccard'."""
     import os
 
     from kgpipe.dedup_pipeline import (
@@ -468,7 +472,20 @@ def _durable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_dedup_checkpointed(
             spark, _dup_corpus_spark(spark, sf_dir), paths, run_dir,
             fps=fps, through="pairs")
-    return out["pairs"]
+        if want == "pairs":
+            return out["pairs"]
+        run = out["run"]
+        s = run.stage(
+            "jaccard", out["pairs"].select("doc_a", "doc_b"),
+            lambda cand: jaccard_from_pairs(cand,
+                                            _shingle_table(spark, sf_dir)),
+            n_buckets=1, fingerprint=fps["jaccard"])
+        run.write_metrics()
+        return s.df
+
+
+def _durable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _durable_dup_family(spark, sf_dir, "pairs")
 
 
 def _lsh_pairs_over(corpus: DataFrame) -> DataFrame:
@@ -604,29 +621,7 @@ def jaccard_from_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
 
 
 def _durable_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from kgpipe.dedup_pipeline import (
-        DUP_CORPUS_TAG,
-        locked_run_dir,
-        run_dedup_checkpointed,
-        stage_fingerprints,
-    )
-
-    paths = [os.path.join(sf_dir, "documents.parquet")]
-    fps = stage_fingerprints(paths, corpus=DUP_CORPUS_TAG)
-    with locked_run_dir(spark, paths, fps) as run_dir:
-        out = run_dedup_checkpointed(
-            spark, _dup_corpus_spark(spark, sf_dir), paths, run_dir,
-            fps=fps, through="pairs")
-        run = out["run"]
-        s = run.stage(
-            "jaccard", out["pairs"].select("doc_a", "doc_b"),
-            lambda cand: jaccard_from_pairs(cand,
-                                            _shingle_table(spark, sf_dir)),
-            n_buckets=1, fingerprint=fps["jaccard"])
-        run.write_metrics()
-    return s.df
+    return _durable_dup_family(spark, sf_dir, "jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -894,12 +889,16 @@ def _committed_neardup_members(spark: SparkSession, sf_dir: str):
     nothing."""
     import os
 
-    from kgpipe.dedup_pipeline import shared_run_dir, stage_fingerprints
+    from kgpipe.dedup_pipeline import (
+        run_dir_fp,
+        shared_run_dir,
+        stage_fingerprints,
+    )
     from kgpipe.operators.checkpoint import CheckpointedRun
 
     paths = [os.path.join(sf_dir, "documents.parquet")]
     fps = stage_fingerprints(paths)
-    run_dir = shared_run_dir(paths, fp=fps["sigs"])
+    run_dir = shared_run_dir(paths, fp=run_dir_fp(fps))
     if run_dir is None or not os.path.isdir(run_dir):
         return None
     run = CheckpointedRun(spark, run_dir)

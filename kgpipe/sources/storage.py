@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,7 +91,6 @@ def _commit_snapshot(path: str, snap_dir: str, snapshot_id: int,
             # read_triples(pred=...) compares raw values: an escaped value
             # in the manifest would make metadata pruning silently return
             # an empty scan for any pred containing such characters.
-            from urllib.parse import unquote
 
             part = next((seg.split("=", 1)[1] for seg in rel.split(os.sep)
                          if seg.startswith("pred=")), None)
@@ -307,10 +307,14 @@ def expire_snapshots(path: str, keep_last: int = 1,
                   if keep_last else [])
         for sid in expire:
             rm_snapshot(sid)
-        if current is not None:
-            for sid in _manifest_ids(path):
-                if sid > current:
-                    rm_snapshot(sid)
+        # ids beyond the pointer are crashed writers' orphans; with NO
+        # pointer at all (a crash on the first-ever commit), EVERY manifest
+        # is an orphan — we hold the commit lock, so none can belong to a
+        # live writer mid-swap
+        orphan_floor = current if current is not None else -1
+        for sid in _manifest_ids(path):
+            if sid > orphan_floor:
+                rm_snapshot(sid)
         data_dir = os.path.join(path, "data")
         if os.path.isdir(data_dir):
             cutoff = time.time() - staging_max_age_s

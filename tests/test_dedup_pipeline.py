@@ -129,7 +129,11 @@ def test_registered_query_run_dir_is_fingerprint_keyed(spark):
     stage data (manifest mtimes unchanged) while returning the same rows."""
     import os
 
-    from kgpipe.dedup_pipeline import shared_run_dir, stage_fingerprints
+    from kgpipe.dedup_pipeline import (
+        run_dir_fp,
+        shared_run_dir,
+        stage_fingerprints,
+    )
     from kgpipe.queries import QUERIES
 
     sf = SF_DIR
@@ -138,7 +142,7 @@ def test_registered_query_run_dir_is_fingerprint_keyed(spark):
     # truth) — hand-rebuilding the layout here went stale once already
     fps = stage_fingerprints(paths)
     assert spark.sparkContext.applicationId not in fps["sigs"]
-    run_dir = shared_run_dir(paths, fp=fps["sigs"])
+    run_dir = shared_run_dir(paths, fp=run_dir_fp(fps))
     assert run_dir is not None
 
     first = {tuple(r) for r in QUERIES["dedup_pipeline"](spark, sf).collect()}

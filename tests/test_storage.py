@@ -132,6 +132,24 @@ def test_orphan_manifest_invisible_to_listing_and_time_travel(
     assert read_triples(spark, path).count() == 30
 
 
+def test_first_commit_orphan_is_gcd_without_pointer(spark, tmp_path, v1_rows):
+    """Crash between manifest write and pointer swap on the FIRST-EVER
+    commit: no `current` pointer exists at all, yet the orphan manifest +
+    data must still be invisible and GC'd by expire_snapshots (the orphan
+    floor is 'nothing committed', not 'skip GC entirely')."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    write_triples(_df(spark, v1_rows), path)
+    # turn the only commit into a crashed first commit: drop the pointer
+    os.remove(os.path.join(path, "metadata", "current"))
+    assert snapshot_ids(path) == []
+    expire_snapshots(path, keep_last=10)
+    assert not os.path.exists(
+        os.path.join(path, "metadata", "snap-000001.json"))
+    assert not os.path.isdir(os.path.join(path, "data", "snap-000001"))
+
+
 def test_hive_escaped_pred_values_prune_correctly(spark, tmp_path):
     """Predicates with URL-escaped characters (':' -> %3A in the hive dir
     name) must round-trip through the manifest RAW, so metadata pruning
