@@ -325,3 +325,38 @@ def test_jaccard_stage_resumes_durable(spark, monkeypatch,
     second = _rows(textops._durable_jaccard_dups(spark, SF_DIR))
     assert second == direct
     assert os.path.getmtime(mpath) == m
+
+
+def test_lock_contention_falls_back_to_private_dir(spark, monkeypatch,
+                                                   tmp_path):
+    """A live process holding the run_dir flock must push a second runner
+    to the fingerprint-suffixed PRIVATE dir: same results, zero writes
+    into the lock holder's dir, and the shared dir is used again once the
+    lock is released (flock conflicts across open file descriptions, so
+    an in-process holder exercises the real contention path)."""
+    import fcntl
+
+    import kgpipe.dedup_pipeline as dp
+    from kgpipe.queries import textops
+
+    shared = tmp_path / "shared"
+    monkeypatch.setattr(dp, "shared_run_dir",
+                        lambda paths, fp=None: str(shared))
+    paths = [os.path.join(SF_DIR, "documents.parquet")]
+    fps = dp.stage_fingerprints(paths, corpus=dp.DUP_CORPUS_TAG)
+
+    direct = _rows(textops._lsh_pairs_over(
+        textops._dup_corpus_spark(spark, SF_DIR)))
+
+    os.makedirs(shared, exist_ok=True)
+    with open(shared / ".lock", "w") as holder:
+        fcntl.flock(holder, fcntl.LOCK_EX)
+        with dp.locked_run_dir(spark, paths, fps) as rd:
+            assert rd != str(shared) and "private" in rd
+            assert dp.run_dir_fp(fps) in rd  # family-disjoint fallback
+        got = _rows(textops._durable_lsh_pairs(spark, SF_DIR))
+        assert got == direct and got
+        assert os.listdir(shared) == [".lock"]  # holder's dir untouched
+
+    with dp.locked_run_dir(spark, paths, fps) as rd2:
+        assert rd2 == str(shared)
