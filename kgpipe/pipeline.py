@@ -358,8 +358,17 @@ def run_from_dir(spark: SparkSession, fixture_dir: str,
     """
     from kgpipe.predicates import load_predicates
 
-    transcripts = read_transcripts(
-        spark, os.path.join(fixture_dir, "transcripts.parquet"))
+    # transcripts may arrive as parquet (the fast path: pruning+pushdown)
+    # or as the dump formats conversation logs ship in (JSONL, CSV) —
+    # first match wins, schema-enforced either way
+    from kgpipe.sources.transcripts import read_transcripts_any
+
+    tpath = next(
+        (p for p in (os.path.join(fixture_dir, f"transcripts.{ext}")
+                     for ext in ("parquet", "jsonl", "json", "csv"))
+         if os.path.exists(p)),
+        os.path.join(fixture_dir, "transcripts.parquet"))
+    transcripts = read_transcripts_any(spark, tpath)
     candidate_dict = pd.read_parquet(
         os.path.join(fixture_dir, "candidate_dict.parquet"))
     if predicates is None:
@@ -369,10 +378,20 @@ def run_from_dir(spark: SparkSession, fixture_dir: str,
     if trained:
         from kgpipe.operators.train import fit_perceptron, sample_texts
 
-        model = fit_perceptron(
-            sample_texts(os.path.join(fixture_dir, "transcripts.parquet"),
-                         train_sample),
-            candidate_dict)
+        if tpath.endswith(".parquet"):
+            sample = sample_texts(tpath, train_sample)
+        else:
+            # text formats lack parquet's metadata row count / row-take, so
+            # sample via Spark: seeded per-row Bernoulli at ~3x the target
+            # fraction (spreads across partitions — a bare limit() would be
+            # the head bias sample_texts exists to avoid), then trim. Costs
+            # one count pass — acceptable for opt-in trained mode on dumps.
+            total = transcripts.count()
+            frac = min(1.0, 3.0 * train_sample / max(total, 1))
+            sample = (transcripts.select("text")
+                      .sample(False, frac, seed=20260817)
+                      .limit(train_sample).toPandas()["text"])
+        model = fit_perceptron(sample, candidate_dict)
     out = run_pipeline(spark, transcripts, candidate_dict, window=window,
                        predicates=predicates, labeler_model=model)
     gold_path = os.path.join(fixture_dir, "gold_triples.parquet")
