@@ -50,10 +50,17 @@ def read_events_stream(spark: SparkSession, path: str,
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
-                            max_files_per_trigger: int = 1) -> DataFrame:
-    return (spark.readStream.schema(TRANSCRIPTS)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path))
+                            max_files_per_trigger: int = 1,
+                            fmt: str = "parquet") -> DataFrame:
+    """File-source transcript stream; ``fmt='jsonl'`` tails the dump
+    format logs actually land in (line-delimited, schema-enforced — the
+    batch reader's contract, sources/transcripts.py, applied to the
+    stream). Swap for format('kafka') in production per the module note."""
+    reader = (spark.readStream.schema(TRANSCRIPTS)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if fmt in ("jsonl", "json"):
+        return reader.json(path)
+    return reader.parquet(path)
 
 
 # -- B29: tumbling / sliding event-time windows with watermark -------------

@@ -245,3 +245,40 @@ def test_idempotent_sink_crash_mid_batch_no_duplicates(spark, tmp_path):
     run(out2, ckpt2, IdempotentTripleSink(out2))
     assert sorted(map(tuple,
                       IdempotentTripleSink(out2).read(spark).collect())) == want
+
+
+def test_incremental_triples_over_jsonl_stream(spark, tmp_path):
+    """The stream tails JSONL dumps (the format logs land in) with the
+    same schema-enforced contract as the batch reader: two mid-
+    conversation micro-batches of line-delimited JSON must yield exactly
+    the batch pipeline's raw triples."""
+    from kgpipe.pipeline import run_from_dir
+    from kgpipe.streaming import incremental_triples, read_transcripts_stream
+
+    fixture = materialize("unit")
+    out_batch = run_from_dir(spark, fixture)
+    want = {tuple(r) for r in out_batch["raw_triples"]
+            .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+
+    t = pd.read_parquet(os.path.join(fixture, "transcripts.parquet"))
+    t = t.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    cut = t.groupby("conv_id")["turn_idx"].transform("median")
+    t[t["turn_idx"] <= cut].to_json(os.path.join(d, "a.jsonl"),
+                                    orient="records", lines=True,
+                                    date_format="iso")
+    import time
+    time.sleep(1.1)
+    t[t["turn_idx"] > cut].to_json(os.path.join(d, "b.jsonl"),
+                                   orient="records", lines=True,
+                                   date_format="iso")
+
+    cd = pd.read_parquet(os.path.join(fixture, "candidate_dict.parquet"))
+    got_df = _run_stream(
+        incremental_triples(
+            spark, read_transcripts_stream(spark, d, fmt="jsonl"), cd),
+        str(tmp_path), mode="append")
+    got = {tuple(r) for r in got_df
+           .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+    assert got == want
