@@ -122,3 +122,58 @@ def test_similarity_block_cap_bounds_adversarial_block(spark):
     ref = {tuple(r) for r in
            similarity_edges(ssurf, block_cap=None).collect()}
     assert got == ref and got
+
+
+def test_cc_algos_agree_on_random_graphs(spark):
+    """Property gate over RANDOM graphs: two_phase (large/small star) and
+    minprop must both equal a plain Python union-find ground truth —
+    across dense blobs, long chains, forests of stars and lone edges.
+    Hypothesis is overkill here (each example costs Spark jobs); seeded
+    draws cover the shapes deterministically (4 trials x 2 algos keeps
+    the iterative-CC driver-round latency within suite budget)."""
+    import random
+
+    def truth(edges):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return {n: find(n) for n in nodes if find(n) != n}
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        nodes = [f"n{trial}_{i:02d}" for i in range(n)]
+        shape = trial % 3
+        if shape == 0:  # sparse random pairs (forest-ish)
+            edges = [(rng.choice(nodes), rng.choice(nodes))
+                     for _ in range(n // 2)]
+        elif shape == 1:  # chain + random chords (long diameter)
+            edges = list(zip(nodes, nodes[1:]))
+            edges += [(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(3)]
+        else:  # dense blob + isolated star
+            blob = nodes[: n // 2]
+            edges = [(rng.choice(blob), rng.choice(blob))
+                     for _ in range(len(blob) * 2)]
+            hub, *spokes = nodes[n // 2:] or ["h"]
+            edges += [(hub, s) for s in spokes]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        want = truth(edges)
+        for algo in ("two_phase", "minprop"):
+            got = {r["entity_id"]: r["canonical_id"]
+                   for r in connected_components(df, algo=algo).collect()}
+            assert got == want, (trial, algo)
