@@ -141,6 +141,44 @@ def shared_run_dir(input_paths: list[str],
     return os.path.join(root, fp)
 
 
+_PRIVATE_CLEANUP: set[str] = set()
+PRIVATE_DIR_MAX_AGE_S = 7 * 86400.0
+
+
+def _register_private_cleanup(private: str) -> None:
+    """Remove this session's private fallback dirs at interpreter exit
+    (idempotent per path). Hard crashes skip atexit — the age sweep
+    covers those."""
+    import atexit
+    import shutil
+
+    if private not in _PRIVATE_CLEANUP:
+        _PRIVATE_CLEANUP.add(private)
+        atexit.register(shutil.rmtree, private, ignore_errors=True)
+
+
+def _sweep_stale_private_dirs(max_age_s: float = PRIVATE_DIR_MAX_AGE_S):
+    """GC crashed sessions' private fallback dirs: anything matching the
+    private naming pattern whose mtime is older than ``max_age_s``. The
+    generous age keeps a long-lived live session safe (its writes refresh
+    the mtime; and even a false positive fails LOUDLY downstream — the
+    checkpoint layer raises on lost data, never fabricates)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cutoff = time.time() - max_age_s
+    pat = os.path.join(tempfile.gettempdir(), "kgpipe-dedup-private-*")
+    for d in glob.glob(pat):
+        try:
+            if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def locked_run_dir(spark: SparkSession, input_paths: list[str],
                    fps: dict[str, str]):
     """Context manager yielding the durable run_dir to checkpoint under:
@@ -166,11 +204,17 @@ def locked_run_dir(spark: SparkSession, input_paths: list[str],
         # the private fallback is ALSO fingerprint-suffixed: one session
         # runs several durable families (neardup, LSH pairs) plus several
         # scales, and a single appId-keyed dir would make them wipe each
-        # other's stages on every fingerprint mismatch
+        # other's stages on every fingerprint mismatch. Private dirs are
+        # session debris by definition (never shared), so they are removed
+        # at interpreter exit; an age sweep below catches hard-crashed
+        # sessions' leftovers so contended hosts don't accumulate
+        # corpus-sized trees forever.
         private = os.path.join(
             tempfile.gettempdir(),
             f"kgpipe-dedup-private-{spark.sparkContext.applicationId}"
             f"-{run_dir_fp(fps)}")
+        _register_private_cleanup(private)
+        _sweep_stale_private_dirs()
         run_dir = shared_run_dir(input_paths, fp=run_dir_fp(fps))
         if run_dir is None:
             yield private

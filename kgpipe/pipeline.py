@@ -40,6 +40,20 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPTS).parquet(path)
 
 
+def locate_transcripts(fixture_dir: str) -> str:
+    """First transcripts file present in the fixture dir, by format
+    preference: parquet (pruning+pushdown fast path), then the dump
+    formats logs arrive in (sources/transcripts.py reads any of them
+    schema-enforced). Shared by BOTH fixture-dir entry points so the
+    ingestion surface cannot silently differ between the plain and the
+    checkpointed pipeline."""
+    for ext in ("parquet", "jsonl", "csv"):
+        p = os.path.join(fixture_dir, f"transcripts.{ext}")
+        if os.path.exists(p):
+            return p
+    return os.path.join(fixture_dir, "transcripts.parquet")
+
+
 def salt(df: DataFrame, n_salts: int = 8) -> DataFrame:
     """A2: split hot conversations across tasks for grouped stages
     (BASELINE.json: "salted by conv_id to tame skew")."""
@@ -231,9 +245,11 @@ def run_pipeline_checkpointed(
 
     from kgpipe.operators.checkpoint import CheckpointedRun, input_fingerprint
 
-    tpath = os.path.join(fixture_dir, "transcripts.parquet")
+    from kgpipe.sources.transcripts import read_transcripts_any
+
+    tpath = locate_transcripts(fixture_dir)
     dpath = os.path.join(fixture_dir, "candidate_dict.parquet")
-    transcripts = read_transcripts(spark, tpath)
+    transcripts = read_transcripts_any(spark, tpath)
     candidate_dict = pd.read_parquet(dpath)
     dict_df = dict_to_df(spark, candidate_dict)
 
@@ -363,11 +379,7 @@ def run_from_dir(spark: SparkSession, fixture_dir: str,
     # first match wins, schema-enforced either way
     from kgpipe.sources.transcripts import read_transcripts_any
 
-    tpath = next(
-        (p for p in (os.path.join(fixture_dir, f"transcripts.{ext}")
-                     for ext in ("parquet", "jsonl", "json", "csv"))
-         if os.path.exists(p)),
-        os.path.join(fixture_dir, "transcripts.parquet"))
+    tpath = locate_transcripts(fixture_dir)
     transcripts = read_transcripts_any(spark, tpath)
     candidate_dict = pd.read_parquet(
         os.path.join(fixture_dir, "candidate_dict.parquet"))
@@ -382,15 +394,18 @@ def run_from_dir(spark: SparkSession, fixture_dir: str,
             sample = sample_texts(tpath, train_sample)
         else:
             # text formats lack parquet's metadata row count / row-take, so
-            # sample via Spark: seeded per-row Bernoulli at ~3x the target
-            # fraction (spreads across partitions — a bare limit() would be
-            # the head bias sample_texts exists to avoid), then trim. Costs
-            # one count pass — acceptable for opt-in trained mode on dumps.
-            total = transcripts.count()
-            frac = min(1.0, 3.0 * train_sample / max(total, 1))
-            sample = (transcripts.select("text")
-                      .sample(False, frac, seed=20260817)
-                      .limit(train_sample).toPandas()["text"])
+            # sample via Spark: the n smallest rows by a content hash — a
+            # deterministic uniform draw with NO head bias (sample(frac)
+            # .limit(n) trims in partition order, i.e. a head; and frac
+            # capped at 1.0 degenerates to a bare head-take). Spark plans
+            # orderBy+limit as TakeOrderedAndProject: per-partition top-K
+            # heaps + a driver merge of K rows, not a full sort.
+            sample = (transcripts
+                      .select("text",
+                              F.xxhash64("conv_id", "turn_idx", "text")
+                              .alias("_h"))
+                      .orderBy("_h").limit(train_sample)
+                      .toPandas()["text"])
         model = fit_perceptron(sample, candidate_dict)
     out = run_pipeline(spark, transcripts, candidate_dict, window=window,
                        predicates=predicates, labeler_model=model)

@@ -307,14 +307,18 @@ def expire_snapshots(path: str, keep_last: int = 1,
                   if keep_last else [])
         for sid in expire:
             rm_snapshot(sid)
-        # ids beyond the pointer are crashed writers' orphans; with NO
-        # pointer at all (a crash on the first-ever commit), EVERY manifest
-        # is an orphan — we hold the commit lock, so none can belong to a
-        # live writer mid-swap
-        orphan_floor = current if current is not None else -1
-        for sid in _manifest_ids(path):
-            if sid > orphan_floor:
-                rm_snapshot(sid)
+        # ids beyond the pointer are crashed writers' orphans. With NO
+        # pointer at all, DELETE NOTHING: a crashed first-ever commit and
+        # a committed table whose pointer was lost out-of-band (partial
+        # restore/rsync) are indistinguishable on disk, and a lost pointer
+        # must never cascade into data deletion — the crashed-first-commit
+        # debris self-heals anyway, because id allocation is pointer+1 and
+        # the next writer's retry rmtree's and replaces slot 1 under the
+        # lock it is already holding.
+        if current is not None:
+            for sid in _manifest_ids(path):
+                if sid > current:
+                    rm_snapshot(sid)
         data_dir = os.path.join(path, "data")
         if os.path.isdir(data_dir):
             cutoff = time.time() - staging_max_age_s

@@ -64,11 +64,22 @@ def read_transcripts_any(spark: SparkSession, path: str,
                          fmt: str | None = None,
                          mode: str = "FAILFAST") -> DataFrame:
     """Dispatch on ``fmt`` or the path extension: parquet (default),
-    jsonl/json, csv. Directories of like-typed files work as usual."""
+    jsonl, csv. Directories of like-typed files work as usual.
+
+    A bare ``.json`` extension is NOT auto-detected: a conventional JSON
+    export (one top-level array, often pretty-printed) is not
+    line-delimited, and reading it under JSONL semantics either FAILFASTs
+    with a cryptic malformed-record error or parses rows the caller never
+    asked for. Callers with genuine line-delimited ``.json`` files pass
+    ``fmt='jsonl'`` explicitly."""
     if fmt is None:
         ext = os.path.splitext(path.rstrip("/"))[1].lower().lstrip(".")
-        fmt = {"jsonl": "jsonl", "json": "jsonl", "csv": "csv"}.get(
-            ext, "parquet")
+        if ext == "json":
+            raise ValueError(
+                f"{path}: .json is ambiguous (array export vs "
+                "line-delimited) — pass fmt='jsonl' for NDJSON, or "
+                "convert array exports to .jsonl")
+        fmt = {"jsonl": "jsonl", "csv": "csv"}.get(ext, "parquet")
     if fmt in ("jsonl", "json"):
         return read_transcripts_jsonl(spark, path, mode=mode)
     if fmt == "csv":

@@ -59,7 +59,13 @@ def read_transcripts_stream(spark: SparkSession, path: str,
     reader = (spark.readStream.schema(TRANSCRIPTS)
               .option("maxFilesPerTrigger", max_files_per_trigger))
     if fmt in ("jsonl", "json"):
-        return reader.json(path)
+        # same mode + timestamp contract as the batch reader: a malformed
+        # line must abort loudly (not flow as an all-null row into the
+        # stateful extractor), and both paths must parse the same ts format
+        return (reader.option("mode", "FAILFAST")
+                .option("timestampFormat",
+                        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+                .json(path))
     return reader.parquet(path)
 
 

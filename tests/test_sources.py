@@ -76,3 +76,27 @@ def test_pipeline_end_to_end_over_jsonl(spark, unit_fixture_dir, dumps,
     out = run_from_dir(spark, str(fx))
     m = evaluate_triples(out["triples"], out["gold"])
     assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+
+
+def test_checkpointed_pipeline_over_jsonl(spark, unit_fixture_dir, dumps,
+                                          tmp_path):
+    """Both fixture-dir entry points share locate_transcripts: the
+    CHECKPOINTED pipeline must also run over a JSONL-only fixture dir and
+    emit the plain run's triples."""
+    from kgpipe.pipeline import run_from_dir, run_pipeline_checkpointed
+
+    d, _ = dumps
+    fx = tmp_path / "jsonl_fixture_ck"
+    fx.mkdir()
+    shutil.copy(os.path.join(d, "transcripts.jsonl"),
+                fx / "transcripts.jsonl")
+    shutil.copy(os.path.join(unit_fixture_dir, "candidate_dict.parquet"),
+                fx / "candidate_dict.parquet")
+
+    want = {tuple(r) for r in
+            run_from_dir(spark, unit_fixture_dir)["triples"]
+            .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+    out = run_pipeline_checkpointed(spark, str(fx), str(tmp_path / "ck"))
+    got = {tuple(r) for r in out["triples"]
+           .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+    assert got == want and got

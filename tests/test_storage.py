@@ -132,22 +132,26 @@ def test_orphan_manifest_invisible_to_listing_and_time_travel(
     assert read_triples(spark, path).count() == 30
 
 
-def test_first_commit_orphan_is_gcd_without_pointer(spark, tmp_path, v1_rows):
-    """Crash between manifest write and pointer swap on the FIRST-EVER
-    commit: no `current` pointer exists at all, yet the orphan manifest +
-    data must still be invisible and GC'd by expire_snapshots (the orphan
-    floor is 'nothing committed', not 'skip GC entirely')."""
-    import shutil
-
+def test_missing_pointer_never_cascades_into_deletion(spark, tmp_path,
+                                                      v1_rows):
+    """A table with manifests but NO `current` pointer is ambiguous: a
+    crashed first-ever commit and a committed table whose pointer was
+    lost out-of-band look identical on disk. expire_snapshots must GC
+    NOTHING in that state (a lost pointer must never cascade into data
+    loss); the crashed-first-commit case self-heals because the next
+    writer's retry reuses and replaces slot pointer+1 = 1."""
     path = str(tmp_path / "tbl")
     write_triples(_df(spark, v1_rows), path)
-    # turn the only commit into a crashed first commit: drop the pointer
     os.remove(os.path.join(path, "metadata", "current"))
-    assert snapshot_ids(path) == []
+    assert snapshot_ids(path) == []  # invisible without the pointer...
     expire_snapshots(path, keep_last=10)
-    assert not os.path.exists(
+    assert os.path.exists(  # ...but NOT deleted
         os.path.join(path, "metadata", "snap-000001.json"))
-    assert not os.path.isdir(os.path.join(path, "data", "snap-000001"))
+    assert os.path.isdir(os.path.join(path, "data", "snap-000001"))
+    # the retry path: a fresh write reuses slot 1 and the table recovers
+    write_triples(_df(spark, v1_rows), path)
+    assert snapshot_ids(path) == [1]
+    assert read_triples(spark, path).count() == 30
 
 
 def test_hive_escaped_pred_values_prune_correctly(spark, tmp_path):
