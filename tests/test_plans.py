@@ -168,3 +168,29 @@ def test_labeler_udf_executes_once_in_mention_plans(spark):
         p = out[name]._jdf.queryExecution().executedPlan().toString()
         assert p.count("transcripts.parquet") == 1, (name, p[:900])
         assert len(re.findall(r"ArrowEvalPython", p)) == 1, (name, p[:900])
+
+
+def test_capped_similarity_join_plan_shape(spark):
+    """The two-tier canon similarity join must keep its scale shapes in
+    the physical plan: the block-size table joins back via BROADCAST (one
+    row per block, never a shuffle of the surfaces for sizing), no
+    cartesian/BNLJ anywhere, and the over-cap band pairs via equi-join
+    (SMJ/SHJ/BHJ) — the all-pairs blow-up stays confined to under-cap
+    blocks by construction."""
+    import pandas as pd
+
+    from kgpipe.operators.canon import entity_surfaces, similarity_edges
+    from kgpipe.operators.linker import dict_to_df
+
+    cd = pd.DataFrame({
+        "alias": [f"tok{i % 7} name{i:04d}" for i in range(300)],
+        "entity_id": [f"E{i:04d}" for i in range(300)],
+        "prior": [1.0] * 300,
+        "ent_class": ["ORG"] * 300,
+    })
+    edges = similarity_edges(entity_surfaces(dict_to_df(spark, cd)),
+                             block_cap=16, sort_window=4)
+    p = edges._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p  # the sizes join-back
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
