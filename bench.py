@@ -153,7 +153,8 @@ def main() -> int:
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     for fname, key in (("scaling.json", "scaling"),
                        ("cluster_scaling.json", "cluster_scaling"),
-                       ("canon.json", "canon_bench")):
+                       ("canon.json", "canon_bench"),
+                       ("dedup.json", "dedup_bench")):
         path = os.path.join(bench_dir, fname)
         if os.path.exists(path):
             with open(path) as f:

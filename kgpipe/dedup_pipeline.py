@@ -49,8 +49,11 @@ from kgpipe.queries.textops import (
 # fingerprint so a parameter change invalidates the durable stages (and,
 # for the fingerprint-keyed run_dir in queries/textops.py::dedup_pipeline,
 # lands in a fresh directory).
+# v=2: the minhash permutation family changed (pre-reduction mod 2^31-1
+# so the affine transforms actually wrap — textops.MINHASH_M) — durable
+# sigs/pairs tables from v=1 are formula-stale and must not be resumed
 DEDUP_PARAMS = {"bands": LSH_BANDS, "cap": LSH_BUCKET_CAP, "ab": MINHASH_AB,
-                "v": 1}
+                "v": 2}
 
 
 # The corpus TRANSFORM is part of the fingerprint, not just the input

@@ -28,10 +28,24 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "on", "is"]
 # THIS constant so the engine/oracle stoplists cannot desynchronize
 _STOPLIST_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
 
-# MinHash parameters: k permutations via (a_i * h + b_i) mod p over the
-# portable 48-bit hash. Fixed primes a_i < 2^13 keep h*a+b < 2^62 (no BIGINT
-# overflow in either engine). Deterministic across engines.
-MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+# MinHash parameters: k permutations h_i(x) = ((x mod M) * a_i + b_i) mod M
+# over the portable 48-bit hash, with M = 2^31 - 1 (Mersenne prime).
+# The pre-reduction mod M is LOAD-BEARING: round 1 used (x * a_i + b_i)
+# mod 2^61-1 directly, but x < 2^48 and a_i < 2^13 means x*a+b < 2^61 NEVER
+# wraps — every "permutation" was monotone in x, all 8 minima picked the
+# SAME argmin shingle, and banded LSH degenerated to ONE permutation
+# (bands perfectly correlated: measured near-dup recall 0.907 ~= J at
+# J~0.9, where independent bands give 1-(1-J^2)^4 ~= 0.999; caught by
+# bench_dedup.py's planted corpus). Reducing x to 31 bits first makes
+# (x31 * a_i) wrap mod M for almost all x — a genuine universal-hash
+# permutation family — while keeping every product < 2^44, far inside
+# BIGINT under Spark's ANSI overflow checking, in both engines.
+MINHASH_M = 2147483647  # 2^31 - 1 (Mersenne prime)
+# rolling-hash modulus for doc_fingerprints — deliberately its own
+# constant (2^61-1): i*const + hash(w) < 2^49 per term and a 60-term
+# sum stays < 2^55, no BIGINT overflow; it never needed to wrap, and
+# sharing the minhash modulus would couple two unrelated formulas
+ROLLHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 MINHASH_AB = [(2387, 268439), (3947, 524309), (5273, 786451), (6863, 1048583),
               (1409, 131101), (2741, 262147), (4391, 393241), (7211, 655373)]
 LSH_BANDS = 4  # 4 bands x 2 rows
@@ -334,19 +348,22 @@ def _minhash_struct_spark(toks: Column) -> Column:
     (measured 3.2s vs 0.5s for this fold at sf0.1). Here the hash array
     appears exactly once and the accumulator struct carries all 8 running
     minima. Fold-least == array_min because the >=3-token filter guarantees
-    a non-empty array and (x*a+b) % P < P (the init sentinel).
+    a non-empty array and every h_i value is < MINHASH_M (the init
+    sentinel).
     """
     sh = F.array_distinct(_shingles_spark(toks))
     h = F.transform(sh, portable_hash_spark)
     init = F.struct(
-        *[F.lit(MINHASH_P).cast("long").alias(f"mh{i}")
+        *[F.lit(MINHASH_M).cast("long").alias(f"mh{i}")
           for i in range(len(MINHASH_AB))]
     )
 
     def merge(acc: Column, x: Column) -> Column:
+        x31 = x % MINHASH_M
         return F.struct(
             *[
-                F.least(acc[f"mh{i}"], (x * a + b) % MINHASH_P).alias(f"mh{i}")
+                F.least(acc[f"mh{i}"],
+                        (x31 * a + b) % MINHASH_M).alias(f"mh{i}")
                 for i, (a, b) in enumerate(MINHASH_AB)
             ]
         )
@@ -366,7 +383,8 @@ def _minhash_sql_exprs() -> list[str]:
         f"s -> {portable_hash_sql('s')})"
     )
     return [
-        f"list_min(list_transform({hs}, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        f"list_min(list_transform({hs}, "
+        f"x -> ((x % {MINHASH_M}) * {a} + {b}) % {MINHASH_M}))"
         f" AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
@@ -652,8 +670,8 @@ def _durable_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   range(1, len(string_split(d.text, ' ')) + 1),
                   i -> (i * 1315423911 +
                         {portable_hash_sql("string_split(d.text, ' ')[i]")})
-                       % {MINHASH_P}))
-                % {MINHASH_P} AS BIGINT) AS fingerprint
+                       % {ROLLHASH_P}))
+                % {ROLLHASH_P} AS BIGINT) AS fingerprint
     FROM documents d JOIN sim s ON s.doc_id = d.doc_id
     """,
 )
@@ -683,10 +701,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             i.cast("long") * 1315423911
             + portable_hash_spark(w)
         )
-        % MINHASH_P,
+        % ROLLHASH_P,
     )
     fp = F.aggregate(
-        terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % MINHASH_P
+        terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % ROLLHASH_P
     )
     return d.select(
         "doc_id",

@@ -197,3 +197,29 @@ def test_fused_equals_exploded_on_random_corpora(spark, corpus):
     got = tset(extract_triples_fused(spark, labeled, cd, window=3,
                                      chunk=None, predicates=_PREDS))
     assert got == ref
+
+
+def test_minhash_permutations_actually_permute():
+    """Regression pin for the degenerate-permutation bug: with the
+    round-1 formula (x*a+b) mod 2^61-1 over a 48-bit hash and a < 2^13,
+    the product NEVER wrapped, every 'permutation' was monotone in x, all
+    8 minima picked the same argmin shingle, and banded LSH collapsed to
+    ONE permutation (measured near-dup recall ~= J instead of
+    1-(1-J^2)^bands; caught by bench_dedup.py). The fixed family
+    ((x mod M)*a+b) mod M with M=2^31-1 must produce 8 DISTINCT orderings
+    of a hash sample, none equal to the raw-hash ordering."""
+    import hashlib
+
+    from kgpipe.queries.textops import MINHASH_AB, MINHASH_M
+
+    xs = [int(hashlib.md5(f"shingle {i}".encode()).hexdigest()[:12], 16)
+          for i in range(64)]
+    identity = tuple(sorted(range(len(xs)), key=lambda j: xs[j]))
+    orders = []
+    for a, b in MINHASH_AB:
+        vals = [((x % MINHASH_M) * a + b) % MINHASH_M for x in xs]
+        orders.append(tuple(sorted(range(len(xs)), key=lambda j: vals[j])))
+        # every product must stay far inside BIGINT under ANSI checking
+        assert max((x % MINHASH_M) * a + b for x in xs) < 2**52
+    assert len(set(orders)) == len(MINHASH_AB), "correlated permutations"
+    assert identity not in orders, "a permutation is monotone in the hash"
